@@ -1,0 +1,29 @@
+"""Neural Spectral Codec — TPU-native (JAX/XLA/Pallas/pjit) framework.
+
+A ground-up TPU-first rebuild of the LiDAR loop-closure / place-recognition
+pipeline of Kimun-Park/Neural-Spectral-Codec:
+
+    raw LiDAR scan
+      → panoramic range image (scatter-min projection, ops/range_image.py)
+      → rotation-invariant 800-D spectral histogram (ops/spectral.py)
+      → 4-criterion keyframe selection (keyframe/)
+      → temporal graph + edge-conditioned 3-layer GAT (models/gnn.py)
+      → two-stage retrieval: 1-D Wasserstein global search + geometric
+        verification (retrieval/)
+      → g2o pose-graph edges.
+
+Design stance (not a port):
+  * Per-scan Python loops in the reference become batched, jit-compiled,
+    fixed-shape array programs (vmap over scans / keyframes / queries).
+  * FFT + histogram binning lower to matmuls against precomputed bases so
+    the hot path rides the MXU.
+  * The GAT runs as dense masked attention over padded bounded-degree
+    neighbor tensors instead of COO edge lists + scatter kernels.
+  * Scaling is SPMD over a `jax.sharding.Mesh` (data-parallel training,
+    node-sharded graphs with halo exchange, row-sharded retrieval DB),
+    not NCCL/DataParallel.
+"""
+
+__version__ = "0.1.0"
+
+from neural_spectral_codec_tpu import ops  # noqa: F401

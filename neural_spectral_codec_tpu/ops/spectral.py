@@ -1,0 +1,218 @@
+"""Spectral histogram encoder — the hot path, as pure batched array math.
+
+Reference semantics (/root/reference/src/encoding/spectral_encoder.py):
+
+  range image (E, A)
+    → adaptive average pool rows to ``target_elevation_bins`` (:171-176)
+    → row-wise rFFT, ``norm='ortho'`` then ×√A (:180-186)
+      (the two scalings cancel: this is exactly the *unnormalized* rFFT
+       magnitude)
+    → exponential-α frequency bin edges (:93-116)
+    → assignment = searchsorted(edges, freqs, right=True) − 1, clipped (:144)
+    → per-row scatter-add into ``n_bins`` bins (:149-155)
+    → flatten + global sum-to-1 normalization with a uniform fallback for an
+      empty histogram (:195-203)
+
+TPU-first design choices:
+  * Pooling and histogram binning become matmuls against small precomputed
+    matrices (``pooling_matrix``, ``binning_matrix``) so with the DFT-as-
+    matmul variant the entire encoder is three matmuls + elementwise — an
+    MXU workload with zero gathers/scatters.
+  * Two FFT paths: ``jnp.fft.rfft`` (XLA FFT) and an explicit real DFT as a
+    single (A × 2·n_freqs) matmul used by the fused/Pallas path; for A=360
+    the DFT matmul is both faster on the MXU and fuses with the binning
+    matmul.
+  * α is accepted as a traced scalar. NOTE: in the reference, gradients do
+    NOT flow to α — ``searchsorted``+``scatter_add_`` index paths are
+    non-differentiable — so "learnable α" is cosmetic there. We reproduce
+    hard binning (identical forward math, identically zero α-gradient).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_spectral_codec_tpu.ops.range_image import (
+    ProjectionConfig,
+    interpolate_range_image,
+    project_points_batch,
+)
+
+
+class SpectralEncoderConfig(NamedTuple):
+    """Static encoder hyperparameters (reference spectral_encoder.py:35-91)."""
+
+    n_elevation: int = 64
+    n_azimuth: int = 360
+    n_bins: int = 50
+    target_elevation_bins: int = 16
+    alpha: float = 2.0
+    epsilon: float = 1e-8
+    interpolate_empty: bool = True
+    elevation_range_deg: Tuple[float, float] = (-24.8, 2.0)
+    max_range: float = 80.0
+    min_range: float = 1.0
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_azimuth // 2 + 1
+
+    @property
+    def output_dim(self) -> int:
+        return self.target_elevation_bins * self.n_bins
+
+    @property
+    def projection(self) -> ProjectionConfig:
+        return ProjectionConfig(
+            n_elevation=self.n_elevation,
+            n_azimuth=self.n_azimuth,
+            elevation_range_deg=self.elevation_range_deg,
+            max_range=self.max_range,
+            min_range=self.min_range,
+        )
+
+
+def compute_bin_edges(alpha: jnp.ndarray, n_bins: int, n_freqs: int,
+                      epsilon: float = 1e-8) -> jnp.ndarray:
+    """Exponential-warped bin edges (reference spectral_encoder.py:93-116)."""
+    t = jnp.linspace(0.0, 1.0, n_bins + 1)
+    edges = (jnp.exp(alpha * t) - 1.0) / (jnp.exp(alpha) - 1.0 + epsilon)
+    return edges * n_freqs
+
+
+def binning_matrix(alpha: jnp.ndarray, n_bins: int, n_freqs: int,
+                   epsilon: float = 1e-8) -> jnp.ndarray:
+    """(n_freqs, n_bins) one-hot assignment matrix.
+
+    ``hist = magnitudes @ binning_matrix`` reproduces the reference's
+    searchsorted(right)−1 + clip + scatter_add (spectral_encoder.py:144-155)
+    as a matmul.
+    """
+    edges = compute_bin_edges(alpha, n_bins, n_freqs, epsilon)
+    freqs = jnp.arange(n_freqs, dtype=edges.dtype)
+    assign = jnp.searchsorted(edges, freqs, side="right") - 1
+    assign = jnp.clip(assign, 0, n_bins - 1)
+    return jax.nn.one_hot(assign, n_bins, dtype=jnp.float32)
+
+
+def pooling_matrix(n_elevation: int, target: int) -> np.ndarray:
+    """(target, n_elevation) row-pooling matrix matching
+    ``torch.nn.functional.adaptive_avg_pool2d`` row semantics
+    (spectral_encoder.py:171-176): row i averages input rows
+    [floor(i·E/T), ceil((i+1)·E/T))."""
+    P = np.zeros((target, n_elevation), dtype=np.float32)
+    for i in range(target):
+        start = (i * n_elevation) // target
+        end = -((-(i + 1) * n_elevation) // target)  # ceil
+        P[i, start:end] = 1.0 / (end - start)
+    return P
+
+
+def dft_bases(n_azimuth: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT bases (A, n_freqs) so that for a real row x,
+    rfft(x)[k] = x·cos_base[:,k] − i·x·sin_base[:,k] (unnormalized)."""
+    n_freqs = n_azimuth // 2 + 1
+    n = np.arange(n_azimuth)[:, None]
+    k = np.arange(n_freqs)[None, :]
+    ang = 2.0 * np.pi * n * k / n_azimuth
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _fft_magnitudes(pooled: jnp.ndarray, n_azimuth: int) -> jnp.ndarray:
+    """Unnormalized rFFT magnitude per row. The reference's
+    ortho-norm × √A (spectral_encoder.py:180-186) cancels to exactly this."""
+    return jnp.abs(jnp.fft.rfft(pooled, axis=-1))
+
+
+def _normalize_histogram(hist: jnp.ndarray, epsilon: float) -> jnp.ndarray:
+    """Global sum-to-1 with uniform fallback (spectral_encoder.py:195-203)."""
+    s = jnp.sum(hist, axis=-1, keepdims=True)
+    uniform = jnp.ones_like(hist) / hist.shape[-1]
+    return jnp.where(s > epsilon, hist / (s + epsilon), uniform)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def encode_range_image(
+    img: jnp.ndarray, alpha: jnp.ndarray, config: SpectralEncoderConfig
+) -> jnp.ndarray:
+    """(E, A) range image → (target·n_bins,) normalized spectral histogram."""
+    return encode_range_image_batch(img[None], alpha, config)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def encode_range_image_batch(
+    imgs: jnp.ndarray, alpha: jnp.ndarray, config: SpectralEncoderConfig
+) -> jnp.ndarray:
+    """(B, E, A) → (B, target·n_bins). The whole chain is batched matmuls."""
+    b, n_elev, n_azim = imgs.shape
+    # HIGHEST precision: on TPU the MXU would otherwise run these matmuls in
+    # bf16 and break descriptor parity (~1e-2 rel error) with the fp32
+    # reference. These are tiny matmuls; full fp32 costs nothing here.
+    if n_elev != config.target_elevation_bins:
+        P = jnp.asarray(pooling_matrix(n_elev, config.target_elevation_bins))
+        imgs = jnp.einsum("te,bea->bta", P, imgs,
+                          precision=jax.lax.Precision.HIGHEST)
+    mags = _fft_magnitudes(imgs, n_azim)  # (B, T, n_freqs)
+    Bm = binning_matrix(alpha, config.n_bins, config.n_freqs, config.epsilon)
+    hist = jnp.einsum("btf,fk->btk", mags, Bm,
+                      precision=jax.lax.Precision.HIGHEST)
+    hist = hist.reshape(b, -1)
+    return _normalize_histogram(hist, config.epsilon)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def encode_points(
+    points: jnp.ndarray, alpha: jnp.ndarray, config: SpectralEncoderConfig
+) -> jnp.ndarray:
+    """(N, 3|4) padded cloud → (output_dim,) descriptor
+    (reference encode_points, spectral_encoder.py:206-229)."""
+    return encode_points_batch(points[None], alpha, config)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def encode_points_batch(
+    points: jnp.ndarray, alpha: jnp.ndarray, config: SpectralEncoderConfig
+) -> jnp.ndarray:
+    """(B, N, 3|4) padded clouds → (B, output_dim) descriptors.
+
+    project → (optional) circular interpolation → spectral encode, all on
+    device, one compiled program. This is the end-to-end per-scan kernel the
+    benchmark drives (north star ≥10k scans/s/chip).
+    """
+    imgs = project_points_batch(points, config.projection)
+    if config.interpolate_empty:
+        imgs = jax.vmap(interpolate_range_image)(imgs)
+    return encode_range_image_batch(imgs, alpha, config)
+
+
+# ---------------------------------------------------------------------------
+# Numpy oracle (50-D torch-free variant parity)
+# ---------------------------------------------------------------------------
+
+def encode_range_image_numpy_50d(
+    img: np.ndarray, n_bins: int = 50, alpha: float = 2.0, epsilon: float = 1e-8
+) -> np.ndarray:
+    """Torch-free 50-D variant matching ``SpectralEncoderNumpy``
+    (spectral_encoder.py:264-362): magnitudes are summed over ALL elevation
+    rows into one 50-bin histogram (no pooling, no per-elevation structure).
+    Kept for behavioral completeness of the reference API surface."""
+    n_freqs = img.shape[1] // 2 + 1
+    mags = np.abs(np.fft.rfft(img, axis=1, norm="ortho")) * math.sqrt(img.shape[1])
+    t = np.linspace(0, 1, n_bins + 1)
+    edges = (np.exp(alpha * t) - 1) / (np.exp(alpha) - 1 + epsilon) * n_freqs
+    freqs = np.arange(n_freqs)
+    hist = np.zeros(n_bins)
+    for i in range(n_bins):
+        m = (freqs >= edges[i]) & (freqs < edges[i + 1])
+        if m.any():
+            hist[i] = mags[:, m].sum()
+    s = hist.sum()
+    if s > epsilon:
+        return hist / (s + epsilon)
+    return np.ones(n_bins) / n_bins

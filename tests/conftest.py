@@ -1,0 +1,47 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths (pjit/shard_map over a Mesh) are validated the
+standard JAX way: XLA's host platform faked into 8 devices. Must be set
+before jax initializes, hence the env mutation at import time.
+"""
+
+import os
+
+# Force CPU even if the ambient environment points at a TPU (JAX_PLATFORMS
+# may be preset to a hardware platform): tests must be deterministic and
+# exercise the virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def synthetic_scan(rng, n_points=20000, max_r=60.0):
+    """A synthetic LiDAR-like scan: points on random directions with
+    HDL-64E-ish elevation span, plus some invalid/NaN rows."""
+    az = rng.uniform(-np.pi, np.pi, n_points)
+    el = rng.uniform(np.deg2rad(-24.8), np.deg2rad(2.0), n_points)
+    r = rng.uniform(0.5, max_r, n_points)
+    x = r * np.cos(el) * np.cos(az)
+    y = r * np.cos(el) * np.sin(az)
+    z = r * np.sin(el)
+    i = rng.uniform(0, 1, n_points)
+    pts = np.stack([x, y, z, i], axis=1).astype(np.float32)
+    # sprinkle some NaNs / zero points like real data glitches
+    pts[:: max(n_points // 50, 1), 0] = np.nan
+    return pts
+
+
+@pytest.fixture
+def scan(rng):
+    return synthetic_scan(rng)
