@@ -1,0 +1,173 @@
+"""Keyframe selection, pose utils, and graph construction tests."""
+
+import numpy as np
+
+from neural_spectral_codec_tpu.data import pose_utils as pu
+from neural_spectral_codec_tpu.data.synthetic import SyntheticLoader, loop_trajectory
+from neural_spectral_codec_tpu.keyframe import (
+    KeyframeSelector, KeyframeSelectionCriteria, build_graph, graph_to_coo,
+    TemporalGraphManager, Keyframe,
+)
+
+
+def _pose(x=0.0, y=0.0, yaw=0.0):
+    T = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T[:2, :2] = [[c, -s], [s, c]]
+    T[0, 3], T[1, 3] = x, y
+    return T
+
+
+# ---------------- pose utils ----------------
+
+def test_inverse_and_relative():
+    T = _pose(3, 4, 0.7)
+    np.testing.assert_allclose(pu.inverse_pose(T) @ T, np.eye(4), atol=1e-10)
+    T2 = _pose(5, 1, 1.1)
+    rel = pu.relative_pose(T, T2)
+    np.testing.assert_allclose(T @ rel, T2, atol=1e-10)
+
+
+def test_rotation_angle():
+    a = pu.rotation_angle_degrees(_pose(), _pose(yaw=np.deg2rad(30)))
+    np.testing.assert_allclose(a, 30.0, atol=1e-6)
+
+
+def test_interpolate_poses():
+    T1, T2 = _pose(0, 0, 0), _pose(2, 0, np.deg2rad(90))
+    Tm = pu.interpolate_poses(T1, T2, 0.5)
+    np.testing.assert_allclose(Tm[:3, 3], [1, 0, 0], atol=1e-8)
+    np.testing.assert_allclose(
+        pu.rotation_angle_degrees(T1, Tm), 45.0, atol=1e-5)
+    assert pu.is_valid_transformation(Tm)
+
+
+def test_transform_points_keeps_intensity(rng):
+    pts = rng.normal(size=(10, 4))
+    T = _pose(1, 2, 0.3)
+    out = pu.transform_points(pts, T)
+    np.testing.assert_allclose(out[:, 3], pts[:, 3])
+    np.testing.assert_allclose(
+        out[:, :3], pts[:, :3] @ T[:3, :3].T + T[:3, 3], atol=1e-10)
+
+
+def test_compute_overlap_identity(rng):
+    pts = rng.uniform(-10, 10, (2000, 3))
+    iou = pu.compute_overlap(pts, pts, np.eye(4))
+    assert iou > 0.99
+    far = pts + 100.0
+    assert pu.compute_overlap(pts, far, np.eye(4)) == 0.0
+
+
+def test_spherical_roundtrip(rng):
+    pts = rng.normal(size=(50, 3)) * 10
+    back = pu.spherical_to_cartesian(pu.cartesian_to_spherical(pts))
+    np.testing.assert_allclose(back, pts, atol=1e-8)
+
+
+# ---------------- selector ----------------
+
+def test_selector_first_forced_and_or_logic():
+    sel = KeyframeSelector()
+    pts = np.zeros((10, 3))
+    ok, kf, d = sel.process_scan(0, pts, _pose(0, 0), 0.0)
+    assert ok and d["reason"] == "First keyframe"
+    # tiny motion, small dt → not selected (IoU of identical clouds is 1.0)
+    ok, _, d = sel.process_scan(1, pts, _pose(0.1, 0), 0.1)
+    assert not ok
+    # >0.5 m → selected by distance with geometric check skipped
+    ok, _, d = sel.process_scan(2, pts, _pose(1.0, 0), 0.2)
+    assert ok and d["geometric"]["note"] == "Skipped (early termination)"
+    # rotation criterion
+    ok, _, d = sel.process_scan(3, pts, _pose(1.0, 0, np.deg2rad(20)), 0.3)
+    assert ok and d["rotation"]["satisfied"]
+    # temporal criterion
+    ok, _, d = sel.process_scan(4, pts, _pose(1.0, 0, np.deg2rad(20)), 20.0)
+    assert ok and d["temporal"]["satisfied"]
+    stats = sel.get_statistics()
+    assert stats["num_keyframes"] == 4
+    assert stats["num_scans"] == 5
+
+
+def test_selector_rate_on_synthetic():
+    loader = SyntheticLoader(n_frames=60, seed=1, n_points=512)
+    sel = KeyframeSelector()
+    for i in range(len(loader)):
+        d = loader[i]
+        sel.process_scan(i, d["points"], d["pose"], d["timestamp"])
+    stats = sel.get_statistics()
+    assert 1 <= stats["num_keyframes"] <= 60
+    assert stats["compression_ratio"] >= 1.0
+
+
+# ---------------- graph ----------------
+
+def test_build_graph_temporal_edges():
+    n, d = 10, 8
+    desc = np.eye(n, d, dtype=np.float32)
+    poses = loop_trajectory(n)
+    g = build_graph(desc, poses, temporal_neighbors=5)
+    # M=5 → ±2 neighbors: interior nodes have 4, ends have 2
+    ei, ea = graph_to_coo(g)
+    # reproduce reference edge count: sum over nodes of valid offsets
+    expected = sum(1 for i in range(n) for off in (-2, -1, 1, 2) if 0 <= i + off < n)
+    assert ei.shape[1] == expected
+    assert ea.shape == (ei.shape[1], 2)
+    # edge features: distance symmetric, normalized
+    assert (ea[:, 0] >= 0).all() and (ea[:, 1] >= 0).all() and (ea[:, 1] <= 1).all()
+    # check a known edge: incoming neighbors of node 5 include 3,4,6,7
+    inc = set(g.neighbors[5][g.mask[5]].tolist())
+    assert inc == {3, 4, 6, 7}
+
+
+def test_build_graph_loop_closures():
+    n = 20
+    desc = np.zeros((n, 4), np.float32)
+    poses = loop_trajectory(n)
+    g = build_graph(desc, poses, temporal_neighbors=5, loop_closures=[(2, 15)])
+    assert 15 in set(g.neighbors[2][g.mask[2]].tolist())
+    assert 2 in set(g.neighbors[15][g.mask[15]].tolist())
+
+
+def test_graph_manager_sliding_window():
+    mgr = TemporalGraphManager(max_active_nodes=5, feature_dim=4)
+    for i in range(8):
+        kf = Keyframe(keyframe_id=i, scan_id=i, points=np.zeros((1, 3)),
+                      pose=_pose(i, 0), timestamp=i * 1.0,
+                      descriptor=np.ones(4, np.float32) * i)
+        kf.embedding = np.ones(4, np.float32) * i
+        mgr.add_keyframe(kf)
+    stats = mgr.get_statistics()
+    assert stats["num_active_nodes"] == 5
+    assert stats["num_frozen_nodes"] == 3
+    assert mgr.frozen_embeddings.shape == (3, 4)
+    # index remap: keyframe 7 is newest active node
+    assert mgr.get_node_index(7) == 4
+    assert mgr.get_node_index(0) is None
+    assert mgr.get_all_descriptors().shape == (8, 4)
+
+
+def test_graph_manager_loop_edge_and_khop():
+    mgr = TemporalGraphManager(max_active_nodes=100, feature_dim=4)
+    for i in range(12):
+        mgr.add_keyframe(Keyframe(i, i, np.zeros((1, 3)), _pose(i, 0), i * 1.0,
+                                  descriptor=np.ones(4, np.float32)))
+    assert mgr.add_loop_closure_edge(1, 10, _pose(1, 0), _pose(10, 0))
+    g = mgr.get_graph()
+    assert 10 in set(g.neighbors[1][g.mask[1]].tolist())
+    hop1 = mgr.get_k_hop_neighbors(1, 1)
+    assert hop1 == {1, 0, 2, 3, 10}  # wait: ±2 → {0,2,3} ... see below
+    sub, mapping = mgr.get_local_subgraph(1, k_hops=1)
+    assert sub.n_nodes == len(hop1)
+    # subgraph edges only reference in-set nodes
+    assert sub.neighbors[sub.mask].max() < sub.n_nodes
+
+
+def test_khop_contents():
+    mgr = TemporalGraphManager(max_active_nodes=100, feature_dim=4)
+    for i in range(12):
+        mgr.add_keyframe(Keyframe(i, i, np.zeros((1, 3)), _pose(i, 0), i * 1.0,
+                                  descriptor=np.ones(4, np.float32)))
+    # node 5 with ±2 window: 1-hop = {3,4,5,6,7}
+    assert mgr.get_k_hop_neighbors(5, 1) == {3, 4, 5, 6, 7}
+    assert mgr.get_k_hop_neighbors(5, 2) == {1, 2, 3, 4, 5, 6, 7, 8, 9}
