@@ -1,0 +1,248 @@
+"""Spectral GNN: 3-layer edge-conditioned GAT as dense masked attention.
+
+Architecture contract (/root/reference/src/gnn/model.py:21-205):
+
+    Input(800) → Linear(256) + BatchNorm + ReLU
+      → 3 × [GAT(256, heads=1, edge_dim=2) → BatchNorm
+             (+ReLU+dropout except last layer; +x_prev residual for middle
+              layers)]
+      → Linear(800) (+ input residual; projection if dims differ)
+
+GAT layer semantics match PyG ``GATConv(heads=1, concat=False)``:
+  * shared source/dest linear transform W (no bias on W, bias on output)
+  * attention logits a_src·Wx_j + a_dst·Wx_i + a_edge·(W_e e_ji),
+    LeakyReLU(0.2), softmax over incoming edges of i, dropout on α
+  * self-loops added per node with edge feature = mean of that node's
+    incoming edge features (PyG ``add_self_loops(fill_value='mean')``)
+
+TPU-first: the graph is the padded dense neighbor tensor of
+keyframe/graph.py (degree bounded by ±(M//2) temporal + few loop edges), so
+attention is a fixed-shape masked softmax over (n, D+1) slots — no scatter
+kernels, fuses cleanly under XLA, and vmaps/shards along the node axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neural_spectral_codec_tpu.keyframe.graph import KeyframeGraph
+
+_glorot = nn.initializers.glorot_uniform()
+
+
+class EdgeGATLayer(nn.Module):
+    """Single-head GAT with optional 2-D edge conditioning, over padded
+    dense neighbors. Returns (out, attention) where attention has shape
+    (n, D+1) — the last slot is the self-loop (PyG appends self-loops after
+    the edge list, same convention)."""
+
+    features: int
+    edge_dim: Optional[int] = None
+    negative_slope: float = 0.2
+    attn_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, neighbors: jnp.ndarray,
+                 mask: jnp.ndarray, edge_feats: Optional[jnp.ndarray],
+                 deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        n, D = neighbors.shape
+        C = self.features
+        W = self.param("lin", _glorot, (x.shape[-1], C))
+        att_src = self.param("att_src", _glorot, (1, C))[0]
+        att_dst = self.param("att_dst", _glorot, (1, C))[0]
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        h = x @ W                                    # (n, C)
+        h_nbr = jnp.take(h, neighbors, axis=0)       # (n, D, C)
+        a_src = h_nbr @ att_src                      # (n, D)
+        a_dst = h @ att_dst                          # (n,)
+        logits = a_src + a_dst[:, None]
+        self_logit = h @ att_src + a_dst             # (n,)
+
+        if self.edge_dim is not None and edge_feats is not None:
+            We = self.param("lin_edge", _glorot, (self.edge_dim, C))
+            att_edge = self.param("att_edge", _glorot, (1, C))[0]
+            e = edge_feats @ We                      # (n, D, C)
+            logits = logits + e @ att_edge
+            # self-loop edge feature = mean of valid incoming edge features
+            # (zeros for isolated nodes), PyG fill_value='mean'
+            cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
+            mean_ef = jnp.sum(
+                jnp.where(mask[..., None], edge_feats, 0.0), axis=1) / cnt
+            self_logit = self_logit + (mean_ef @ We) @ att_edge
+
+        all_logits = jnp.concatenate([logits, self_logit[:, None]], axis=1)
+        all_logits = nn.leaky_relu(all_logits, self.negative_slope)
+        full_mask = jnp.concatenate(
+            [mask, jnp.ones((n, 1), dtype=bool)], axis=1)
+        all_logits = jnp.where(full_mask, all_logits, -jnp.inf)
+        alpha = jax.nn.softmax(all_logits, axis=1)
+        if self.attn_dropout > 0.0:
+            alpha = nn.Dropout(self.attn_dropout)(
+                alpha, deterministic=deterministic)
+        vals = jnp.concatenate([h_nbr, h[:, None, :]], axis=1)  # (n, D+1, C)
+        out = jnp.einsum("nd,ndc->nc", alpha, vals) + bias
+        return out, alpha
+
+
+class SpectralGNN(nn.Module):
+    """Full enhancement network (reference model.py:21-205)."""
+
+    input_dim: int = 800
+    hidden_dim: int = 256
+    output_dim: int = 800
+    n_layers: int = 3
+    dropout: float = 0.1
+    residual: bool = True
+    edge_dim: Optional[int] = 2
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, neighbors: jnp.ndarray,
+                 mask: jnp.ndarray, edge_feats: Optional[jnp.ndarray] = None,
+                 train: bool = False, return_attention: bool = False):
+        x_input = features
+        x = nn.Dense(self.hidden_dim)(features)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=0.9, epsilon=1e-5)(x)
+        x = nn.relu(x)
+
+        attentions = []
+        for i in range(self.n_layers):
+            x_prev = x
+            x, alpha = EdgeGATLayer(
+                features=self.hidden_dim,
+                edge_dim=self.edge_dim,
+                attn_dropout=self.dropout,
+            )(x, neighbors, mask, edge_feats, deterministic=not train)
+            attentions.append(alpha)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5)(x)
+            if i < self.n_layers - 1:
+                x = nn.relu(x)
+                x = nn.Dropout(self.dropout)(x, deterministic=not train)
+            if self.residual and 0 < i < self.n_layers - 1:
+                x = x + x_prev
+
+        x = nn.Dense(self.output_dim)(x)
+        if self.residual:
+            if self.input_dim != self.output_dim:
+                x = x + nn.Dense(self.output_dim, name="residual_proj")(x_input)
+            else:
+                x = x + x_input
+        if return_attention:
+            return x, attentions
+        return x
+
+    def get_embedding_dim(self) -> int:
+        return self.output_dim
+
+
+def create_spectral_gnn(input_dim: int = 800, hidden_dim: int = 256,
+                        output_dim: int = 800, n_layers: int = 3,
+                        dropout: float = 0.1, residual: bool = True,
+                        edge_dim: Optional[int] = 2) -> SpectralGNN:
+    """Factory (reference model.py:284-324)."""
+    return SpectralGNN(input_dim=input_dim, hidden_dim=hidden_dim,
+                       output_dim=output_dim, n_layers=n_layers,
+                       dropout=dropout, residual=residual, edge_dim=edge_dim)
+
+
+def init_gnn(model: SpectralGNN, rng: jax.Array, n_nodes: int = 8,
+             max_degree: int = 8):
+    """Initialize parameters against a dummy graph; returns (params,
+    batch_stats) pytrees."""
+    variables = model.init(
+        {"params": rng},
+        jnp.zeros((n_nodes, model.input_dim), jnp.float32),
+        jnp.zeros((n_nodes, max_degree), jnp.int32),
+        jnp.zeros((n_nodes, max_degree), bool),
+        jnp.zeros((n_nodes, max_degree, model.edge_dim or 2), jnp.float32),
+    )
+    return variables["params"], variables["batch_stats"]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_eval_apply(model: SpectralGNN):
+    @jax.jit
+    def apply(params, batch_stats, features, neighbors, mask, edge_feats):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           features, neighbors, mask, edge_feats, train=False)
+    return apply
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_train_apply(model: SpectralGNN):
+    @jax.jit
+    def apply(params, batch_stats, features, neighbors, mask, edge_feats, rng):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           features, neighbors, mask, edge_feats, train=True,
+                           rngs={"dropout": rng}, mutable=["batch_stats"])
+    return apply
+
+
+def gnn_forward(model: SpectralGNN, params, batch_stats, graph: KeyframeGraph,
+                train: bool = False, dropout_rng: Optional[jax.Array] = None):
+    """Functional jit-compiled forward over a KeyframeGraph. In train mode
+    returns (embeddings, new_batch_stats); in eval mode just embeddings.
+    Compiled executables are cached per (model config, graph shape)."""
+    args = (jnp.asarray(graph.features), jnp.asarray(graph.neighbors),
+            jnp.asarray(graph.mask), jnp.asarray(graph.edge_feats))
+    if train:
+        rng = dropout_rng if dropout_rng is not None else jax.random.key(0)
+        out, updates = _jitted_train_apply(model)(params, batch_stats, *args, rng)
+        return out, updates["batch_stats"]
+    return _jitted_eval_apply(model)(params, batch_stats, *args)
+
+
+class LocalUpdateGNN:
+    """k-hop local refresh — ACTUALLY implemented (the reference's
+    LocalUpdateGNN, model.py:208-281, documents a 3200× speedup but falls
+    back to full-graph forward in both code paths).
+
+    Strategy: extract the k-hop subgraph around the updated node, run the
+    GNN on that fixed-small subgraph, and write refreshed embeddings back.
+    For M=5 and k=3 the subgraph has ≤ ~13 temporal nodes (+loop-edge
+    spill), so the refresh cost is independent of graph size.
+
+    Note: BatchNorm statistics are computed over the subgraph (a frozen
+    model in eval mode uses running stats, so eval-mode local updates are
+    exact for nodes whose k-hop neighborhood is fully contained).
+    """
+
+    def __init__(self, model: SpectralGNN, params, batch_stats, k_hops: int = 3):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.k_hops = k_hops
+
+    def forward_full(self, graph: KeyframeGraph) -> jnp.ndarray:
+        return gnn_forward(self.model, self.params, self.batch_stats, graph)
+
+    def forward_local(self, manager, center_node: int,
+                      k_hops: Optional[int] = None) -> jnp.ndarray:
+        """Embedding for ``center_node`` from its k-hop subgraph only."""
+        k = self.k_hops if k_hops is None else k_hops
+        sub, mapping = manager.get_local_subgraph(center_node, k)
+        emb = gnn_forward(self.model, self.params, self.batch_stats, sub)
+        return emb[mapping[center_node]][None]
+
+    def update_embeddings_local(self, manager, center_node: int,
+                                k_hops: Optional[int] = None) -> None:
+        """Refresh embeddings of the (k−1)-hop core around ``center_node``
+        in-place in the graph manager. Nodes in the subgraph boundary see a
+        truncated neighborhood, so only the inner core is written back."""
+        k = self.k_hops if k_hops is None else k_hops
+        sub, mapping = manager.get_local_subgraph(center_node, k)
+        emb = jax.device_get(
+            gnn_forward(self.model, self.params, self.batch_stats, sub))
+        core = manager.get_k_hop_neighbors(center_node, max(k - 1, 0))
+        for node in core:
+            manager.keyframes[node].embedding = emb[mapping[node]]

@@ -11,6 +11,7 @@ import os
 # may be preset to a hardware platform): tests must be deterministic and
 # exercise the virtual 8-device mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,8 +25,17 @@ import pytest  # noqa: E402
 # CPU jit compiles, which are identical across runs.
 import jax  # noqa: E402
 
+# The env var above is only read at jax import time; if a pytest plugin
+# imported jax before this conftest, it would be too late — the config
+# update below works any time before backend initialization.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+)
+assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture

@@ -1,0 +1,183 @@
+"""GNN tests: dense masked GAT vs an independent COO-edge-list numpy oracle
+(the standard GATConv formulation), architecture wiring, and the local
+k-hop update path (exactness of center-node embeddings in eval mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neural_spectral_codec_tpu.keyframe import build_graph, graph_to_coo, Keyframe
+from neural_spectral_codec_tpu.keyframe.graph import TemporalGraphManager
+from neural_spectral_codec_tpu.models import (
+    EdgeGATLayer, SpectralGNN, LocalUpdateGNN, init_gnn,
+)
+from neural_spectral_codec_tpu.models.gnn import gnn_forward
+from neural_spectral_codec_tpu.data.synthetic import loop_trajectory
+
+
+def gat_oracle_coo(x, edge_index, edge_attr, W, att_src, att_dst, bias,
+                   We=None, att_edge=None, slope=0.2):
+    """PyG-convention GATConv oracle over a COO edge list, with self-loops
+    appended (fill_value='mean' over incoming edge_attr)."""
+    n = x.shape[0]
+    h = x @ W
+    src, dst = edge_index
+    # self-loop edge attr = mean of incoming edge_attr per node
+    if edge_attr is not None:
+        self_attr = np.zeros((n, edge_attr.shape[1]))
+        cnt = np.zeros(n)
+        for e in range(len(src)):
+            self_attr[dst[e]] += edge_attr[e]
+            cnt[dst[e]] += 1
+        self_attr[cnt > 0] /= cnt[cnt > 0, None]
+        edge_attr = np.concatenate([edge_attr, self_attr], axis=0)
+    src = np.concatenate([src, np.arange(n)])
+    dst = np.concatenate([dst, np.arange(n)])
+
+    logits = h[src] @ att_src + h[dst] @ att_dst
+    if edge_attr is not None and We is not None:
+        logits = logits + (edge_attr @ We) @ att_edge
+    logits = np.where(logits >= 0, logits, slope * logits)  # LeakyReLU
+    # softmax per dst
+    alpha = np.zeros_like(logits)
+    out = np.zeros_like(h)
+    for i in range(n):
+        sel = dst == i
+        l = logits[sel]
+        e = np.exp(l - l.max())
+        alpha[sel] = e / e.sum()
+        out[i] = (alpha[sel, None] * h[src[sel]]).sum(axis=0)
+    return out + bias
+
+
+def _graph(n=12, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    desc = rng.normal(size=(n, d)).astype(np.float32)
+    poses = loop_trajectory(n)
+    return build_graph(desc, poses, temporal_neighbors=5,
+                       loop_closures=[(1, n - 2)])
+
+
+def test_edge_gat_matches_coo_oracle():
+    g = _graph()
+    layer = EdgeGATLayer(features=8, edge_dim=2)
+    params = layer.init(jax.random.key(0), jnp.asarray(g.features),
+                        jnp.asarray(g.neighbors), jnp.asarray(g.mask),
+                        jnp.asarray(g.edge_feats))["params"]
+    out, alpha = layer.apply({"params": params}, jnp.asarray(g.features),
+                             jnp.asarray(g.neighbors), jnp.asarray(g.mask),
+                             jnp.asarray(g.edge_feats))
+    ei, ea = graph_to_coo(g)
+    ref = gat_oracle_coo(
+        g.features.astype(np.float64), ei, ea.astype(np.float64),
+        np.asarray(params["lin"], np.float64),
+        np.asarray(params["att_src"][0], np.float64),
+        np.asarray(params["att_dst"][0], np.float64),
+        np.asarray(params["bias"], np.float64),
+        np.asarray(params["lin_edge"], np.float64),
+        np.asarray(params["att_edge"][0], np.float64),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+    # attention rows sum to 1 over valid slots
+    np.testing.assert_allclose(np.asarray(alpha).sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_edge_gat_no_edge_features():
+    g = _graph()
+    layer = EdgeGATLayer(features=8, edge_dim=None)
+    params = layer.init(jax.random.key(1), jnp.asarray(g.features),
+                        jnp.asarray(g.neighbors), jnp.asarray(g.mask),
+                        None)["params"]
+    out, _ = layer.apply({"params": params}, jnp.asarray(g.features),
+                         jnp.asarray(g.neighbors), jnp.asarray(g.mask), None)
+    ei, _ = graph_to_coo(g)
+    ref = gat_oracle_coo(
+        g.features.astype(np.float64), ei, None,
+        np.asarray(params["lin"], np.float64),
+        np.asarray(params["att_src"][0], np.float64),
+        np.asarray(params["att_dst"][0], np.float64),
+        np.asarray(params["bias"], np.float64),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_isolated_node_attends_self():
+    """A node with no valid neighbors must reduce to its own projection."""
+    n, d = 4, 6
+    g = _graph(n, d)
+    mask = np.zeros_like(g.mask)
+    layer = EdgeGATLayer(features=8, edge_dim=2)
+    params = layer.init(jax.random.key(2), jnp.asarray(g.features),
+                        jnp.asarray(g.neighbors), jnp.asarray(mask),
+                        jnp.asarray(g.edge_feats))["params"]
+    out, alpha = layer.apply({"params": params}, jnp.asarray(g.features),
+                             jnp.asarray(g.neighbors), jnp.asarray(mask),
+                             jnp.asarray(g.edge_feats))
+    h = g.features @ np.asarray(params["lin"])
+    np.testing.assert_allclose(np.asarray(out), h + np.asarray(params["bias"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha)[:, -1], 1.0, atol=1e-6)
+
+
+def test_spectral_gnn_shapes_and_param_count():
+    model = SpectralGNN(input_dim=800, hidden_dim=256, output_dim=800,
+                        n_layers=3, edge_dim=2)
+    params, batch_stats = init_gnn(model, jax.random.key(0))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    # 800·256+256 (in) + 3·(256·256+3·256+2·256+256 gat + 2·256 bn)
+    # + 256·800+800 (out) + 2·256 (input bn) ≈ 0.6 M — same scale as ref
+    assert 400_000 < n_params < 800_000
+
+    g = _graph(n=20, d=800)
+    out = gnn_forward(model, params, batch_stats, g)
+    assert out.shape == (20, 800)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spectral_gnn_residual_projection():
+    model = SpectralGNN(input_dim=50, hidden_dim=32, output_dim=64,
+                        n_layers=2, edge_dim=2)
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((6, 50)), jnp.zeros((6, 4), jnp.int32),
+        jnp.zeros((6, 4), bool), jnp.zeros((6, 4, 2)))
+    assert "residual_proj" in variables["params"]
+    g = _graph(n=6, d=50)
+    out = model.apply(variables, jnp.asarray(g.features),
+                      jnp.asarray(g.neighbors), jnp.asarray(g.mask),
+                      jnp.asarray(g.edge_feats))
+    assert out.shape == (6, 64)
+
+
+def test_train_mode_updates_batch_stats():
+    model = SpectralGNN(input_dim=16, hidden_dim=8, output_dim=16,
+                        n_layers=3, edge_dim=2)
+    params, bs = init_gnn(model, jax.random.key(0))
+    g = _graph(n=10, d=16)
+    out, new_bs = gnn_forward(model, params, bs, g, train=True,
+                              dropout_rng=jax.random.key(1))
+    assert out.shape == (10, 16)
+    changed = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), bs, new_bs)
+    assert max(jax.tree.leaves(changed)) > 0.0
+
+
+def test_local_update_matches_full_forward():
+    """Center-node embedding from its 3-hop subgraph must equal the
+    full-graph forward in eval mode (3 GAT layers = 3-hop receptive field).
+    This is the correctness property the reference's stub never had."""
+    model = SpectralGNN(input_dim=16, hidden_dim=8, output_dim=16,
+                        n_layers=3, edge_dim=2)
+    params, bs = init_gnn(model, jax.random.key(0))
+
+    mgr = TemporalGraphManager(max_active_nodes=100, feature_dim=16)
+    rng = np.random.default_rng(0)
+    poses = loop_trajectory(30)
+    for i in range(30):
+        mgr.add_keyframe(Keyframe(i, i, np.zeros((1, 3)), poses[i], i * 1.0,
+                                  descriptor=rng.normal(size=16).astype(np.float32)))
+    full = np.asarray(gnn_forward(model, params, bs, mgr.get_graph()))
+    local = LocalUpdateGNN(model, params, bs, k_hops=3)
+    center = 15
+    emb = np.asarray(local.forward_local(mgr, center))
+    np.testing.assert_allclose(emb[0], full[center], rtol=1e-4, atol=1e-5)
