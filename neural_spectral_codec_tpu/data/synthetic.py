@@ -21,8 +21,10 @@ import numpy as np
 def loop_trajectory(n_frames: int, radius: float = 120.0, loops: float = 2.0,
                     speed: float = 1.0, dt: float = 0.1) -> np.ndarray:
     """(n, 4, 4) poses driving ``loops`` times around a circle: every frame
-    of lap 2+ revisits a lap-1 location — dense ground-truth loop closures."""
-    theta = np.linspace(0, 2 * np.pi * loops, n_frames)
+    of lap 2+ revisits a lap-1 location — dense ground-truth loop closures.
+    With ``n_frames`` divisible by ``loops``, lap-k frames land exactly on
+    lap-1 poses (endpoint excluded so laps tile)."""
+    theta = np.linspace(0, 2 * np.pi * loops, n_frames, endpoint=False)
     x, y = radius * np.cos(theta), radius * np.sin(theta)
     yaw = theta + np.pi / 2
     poses = np.tile(np.eye(4), (n_frames, 1, 1))

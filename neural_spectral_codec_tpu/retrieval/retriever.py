@@ -1,0 +1,108 @@
+"""Device-resident Wasserstein retrieval database.
+
+Reference (/root/reference/src/retrieval/wasserstein.py:276-389) keeps an
+append-only tensor it re-cumsums per query, and its two-stage wrapper does
+the spatial filter as a Python loop over ALL keyframes and then queries the
+ENTIRE database (two_stage_retrieval.py:158-201). TPU-first redesign:
+
+  * Preallocated (capacity, n_bins) CDF buffer + (capacity, 3) positions on
+    device; inserts write rows in place (``.at[].set``) — no reallocation,
+    no host↔device churn, fixed shapes for jit.
+  * One fused jitted query: W₁ from stored CDFs + validity mask + spatial
+    exclusion (< min_distance from the query pose) folded into the distance
+    vector as +inf, then a single ``lax.top_k``.
+  * Queries are O(capacity · n_bins) streaming reads — HBM-bandwidth bound;
+    ~100k × 800 fp32 ≈ 320 MB/query ≈ sub-ms on v5e vs the reference's
+    27 ms target.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _query_kernel(db_cdf, db_pos, size, query_hist, query_pos_and_filter, top_k):
+    """Fused normalize + CDF + distance + masking + top-k, one dispatch.
+    ``query_pos_and_filter`` is a (4,) vector [x, y, z,
+    min_spatial_distance]; min_spatial_distance ≤ 0 disables the spatial
+    filter."""
+    n = db_cdf.shape[0]
+    query_cdf = histogram_cdf(query_hist)
+    dists = jnp.sum(jnp.abs(db_cdf - query_cdf[None, :]), axis=1)
+    idx = jnp.arange(n)
+    invalid = idx >= size
+    qp = query_pos_and_filter[:3]
+    min_d = query_pos_and_filter[3]
+    spatial = jnp.linalg.norm(db_pos - qp[None, :], axis=1) < min_d
+    masked = jnp.where(invalid | ((min_d > 0) & spatial), jnp.inf, dists)
+    neg_top, top_idx = jax.lax.top_k(-masked, top_k)
+    return top_idx, -neg_top
+
+
+class WassersteinRetriever:
+    """Append-only descriptor database with device-side top-k queries."""
+
+    def __init__(self, n_bins: int = 800, capacity: int = 100_000,
+                 epsilon: float = 1e-8):
+        self.n_bins = n_bins
+        self.capacity = capacity
+        self.epsilon = epsilon
+        self.database_size = 0
+        self._db_cdf = jnp.zeros((capacity, n_bins), jnp.float32)
+        self._db_pos = jnp.zeros((capacity, 3), jnp.float32)
+
+    def add_to_database(self, histograms: np.ndarray,
+                        positions: Optional[np.ndarray] = None) -> None:
+        """Insert (n, n_bins) histograms (stored as CDFs) with optional
+        (n, 3) positions for spatial filtering."""
+        h = jnp.asarray(np.atleast_2d(np.asarray(histograms, np.float32)))
+        n = h.shape[0]
+        if self.database_size + n > self.capacity:
+            raise ValueError(
+                f"Database capacity exceeded: {self.database_size}+{n} > {self.capacity}")
+        cdf = histogram_cdf(h, self.epsilon)
+        sl = slice(self.database_size, self.database_size + n)
+        self._db_cdf = self._db_cdf.at[sl].set(cdf)
+        if positions is not None:
+            self._db_pos = self._db_pos.at[sl].set(
+                jnp.asarray(np.atleast_2d(positions), jnp.float32))
+        self.database_size += n
+
+    def query(self, query_hist: np.ndarray, top_k: int = 10,
+              query_position: Optional[np.ndarray] = None,
+              spatial_min_distance: float = 0.0
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k W₁ matches. Entries closer than ``spatial_min_distance`` to
+        ``query_position`` are excluded on device (fused, no host loop).
+        Returns (indices, distances) trimmed to valid entries.
+
+        ``query_hist`` may be a device array (e.g. straight from the
+        encoder) — then the query is a single dispatch with no host↔device
+        copies of the descriptor."""
+        if self.database_size == 0:
+            return np.array([], np.int64), np.array([])
+        k = int(min(top_k, self.database_size))
+        q = jnp.asarray(query_hist, jnp.float32)  # no-op for device arrays
+        qp = np.zeros(4, np.float32)
+        if query_position is not None and spatial_min_distance > 0:
+            qp[:3] = np.asarray(query_position)
+            qp[3] = spatial_min_distance
+        idx, dist = _query_kernel(self._db_cdf, self._db_pos,
+                                  jnp.int32(self.database_size), q,
+                                  jnp.asarray(qp), k)
+        idx, dist = np.asarray(idx), np.asarray(dist)
+        keep = np.isfinite(dist)
+        return idx[keep], dist[keep]
+
+    def clear_database(self) -> None:
+        self.database_size = 0
+        self._db_cdf = jnp.zeros((self.capacity, self.n_bins), jnp.float32)
+        self._db_pos = jnp.zeros((self.capacity, 3), jnp.float32)

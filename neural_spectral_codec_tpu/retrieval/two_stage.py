@@ -1,0 +1,161 @@
+"""Two-stage loop closing (reference two_stage_retrieval.py:40-359).
+
+Stage 1 — global retrieval: fused W₁ + spatial-filter + top-k on device
+(the reference did the spatial filter as a Python loop over every keyframe
+and then asked the retriever for the ENTIRE database, :158-201).
+Stage 2 — geometric verification of the top-k candidates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from neural_spectral_codec_tpu.keyframe.selector import Keyframe
+from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+from neural_spectral_codec_tpu.retrieval.verification import GeometricVerifier
+from neural_spectral_codec_tpu.retrieval.g2o import compute_pose_graph_edge
+
+
+@dataclass
+class LoopClosureCandidate:
+    """(reference two_stage_retrieval.py:28-37)"""
+
+    database_idx: int
+    distance: float  # Wasserstein distance
+    verified: bool = False
+    transform: Optional[np.ndarray] = None
+    fitness: Optional[float] = None
+    rmse: Optional[float] = None
+    information_matrix: Optional[np.ndarray] = None
+
+
+class TwoStageRetrieval:
+    def __init__(self, top_k: int = 10, spatial_filter_distance: float = 50.0,
+                 context_window: int = 10, fitness_threshold: float = 0.3,
+                 rmse_threshold: float = 0.5, verification_method: str = "gicp",
+                 n_bins: int = 800, capacity: int = 100_000):
+        self.top_k = top_k
+        self.spatial_filter_distance = spatial_filter_distance
+        self.context_window = context_window
+        self.retriever = WassersteinRetriever(n_bins=n_bins, capacity=capacity)
+        self.verifier = GeometricVerifier(
+            method=verification_method,
+            fitness_threshold=fitness_threshold,
+            rmse_threshold=rmse_threshold,
+        )
+        self.keyframes: List[Keyframe] = []
+
+    def add_keyframe(self, keyframe: Keyframe) -> None:
+        if keyframe.descriptor is None:
+            raise ValueError("Keyframe must have descriptor before adding to database")
+        self.keyframes.append(keyframe)
+        pos = keyframe.pose[:3, 3] if keyframe.pose is not None else np.zeros(3)
+        self.retriever.add_to_database(
+            keyframe.descriptor.reshape(1, -1), pos.reshape(1, 3))
+
+    def query(self, query_keyframe: Keyframe,
+              query_points: Optional[np.ndarray] = None,
+              verify: bool = True) -> List[LoopClosureCandidate]:
+        if query_keyframe.descriptor is None:
+            raise ValueError("Query keyframe must have descriptor")
+        candidates = self._global_retrieval(query_keyframe)
+        if not candidates:
+            return []
+        if verify:
+            if query_points is None:
+                query_points = query_keyframe.points
+            candidates = self._geometric_verification(query_points, candidates)
+        return candidates
+
+    def _global_retrieval(self, query_keyframe: Keyframe
+                          ) -> List[LoopClosureCandidate]:
+        pos = (query_keyframe.pose[:3, 3]
+               if query_keyframe.pose is not None else None)
+        idx, dist = self.retriever.query(
+            query_keyframe.descriptor,
+            top_k=self.top_k,
+            query_position=pos,
+            spatial_min_distance=self.spatial_filter_distance if pos is not None else 0.0,
+        )
+        return [LoopClosureCandidate(int(i), float(d)) for i, d in zip(idx, dist)]
+
+    def _geometric_verification(self, query_points: np.ndarray,
+                                candidates: List[LoopClosureCandidate]
+                                ) -> List[LoopClosureCandidate]:
+        verified = []
+        for cand in candidates:
+            kf = self.keyframes[cand.database_idx]
+            ok, T, info = self.verifier.verify(query_points, kf.points)
+            cand.verified = ok
+            cand.transform = T
+            cand.fitness = info["fitness"]
+            cand.rmse = info["rmse"]
+            cand.information_matrix = info.get("information_matrix")
+            if ok:
+                verified.append(cand)
+        return verified
+
+    def get_loop_closures(self, query_keyframe: Keyframe,
+                          query_points: Optional[np.ndarray] = None
+                          ) -> List[Dict]:
+        """Verified loop closures as g2o edge dicts (reference :244-290)."""
+        out = []
+        for cand in self.query(query_keyframe, query_points, verify=True):
+            if not cand.verified:
+                continue
+            kf = self.keyframes[cand.database_idx]
+            edge = compute_pose_graph_edge(
+                source_pose=query_keyframe.pose,
+                target_pose=kf.pose,
+                relative_transform=cand.transform,
+                information_matrix=cand.information_matrix,
+            )
+            edge.update({
+                "source_id": query_keyframe.keyframe_id,
+                "target_id": kf.keyframe_id,
+                "fitness": cand.fitness,
+                "rmse": cand.rmse,
+                "wasserstein_distance": cand.distance,
+            })
+            out.append(edge)
+        return out
+
+    def clear_database(self) -> None:
+        self.keyframes.clear()
+        self.retriever.clear_database()
+
+
+def create_two_stage_retrieval(top_k: int = 10,
+                               spatial_filter_distance: float = 50.0,
+                               n_bins: int = 800,
+                               capacity: int = 100_000) -> TwoStageRetrieval:
+    return TwoStageRetrieval(top_k=top_k,
+                             spatial_filter_distance=spatial_filter_distance,
+                             n_bins=n_bins, capacity=capacity)
+
+
+def batch_loop_closing(query_keyframes: List[Keyframe],
+                       database_keyframes: List[Keyframe],
+                       top_k: int = 10,
+                       spatial_filter_distance: float = 50.0,
+                       verify: bool = True) -> Dict[int, List[Dict]]:
+    """Offline batch loop closing (reference :322-359)."""
+    n_bins = database_keyframes[0].descriptor.shape[-1]
+    retrieval = create_two_stage_retrieval(
+        top_k=top_k, spatial_filter_distance=spatial_filter_distance,
+        n_bins=n_bins, capacity=max(len(database_keyframes), 1))
+    for kf in database_keyframes:
+        retrieval.add_keyframe(kf)
+    results = {}
+    for i, q in enumerate(query_keyframes):
+        if verify:
+            results[i] = retrieval.get_loop_closures(q)
+        else:
+            results[i] = [
+                {"database_idx": c.database_idx, "wasserstein_distance": c.distance}
+                for c in retrieval.query(q, verify=False)
+            ]
+    return results

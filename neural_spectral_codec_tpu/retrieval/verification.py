@@ -1,0 +1,222 @@
+"""Geometric verification of loop-closure candidates.
+
+Reference behavior (/root/reference/src/retrieval/geometric_verification.py):
+Open3D GICP with 0.3 m voxel downsample, 1.0 m correspondence distance, 30
+iterations; accept iff fitness ≥ 0.3 ∧ inlier-RMSE ≤ 0.5 m; heuristic
+diagonal (6,6) information matrix scaled by fitness (:165-203).
+
+TPU-native redesign: registration runs as a fixed-shape JAX program —
+padded point sets, all-pairs nearest-neighbor via a distance matrix (the
+downsampled clouds are ≤4096 points, so the (P,Q) matrix is small for the
+MXU), and a `lax.fori_loop` over ICP iterations:
+
+  * ``method="icp"``  — point-to-point via weighted Kabsch (SVD) per step.
+  * ``method="gicp"`` — plane-aware: k-NN PCA normals on the target +
+    point-to-plane Gauss-Newton steps (the same family of geometry Open3D's
+    GICP exploits; exact GICP covariance weighting is a planned native-C++
+    backend).
+
+Accept thresholds, fitness (inlier fraction of source points), RMSE, and
+the information-matrix heuristic match the reference contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Mean of points per voxel (Open3D ``voxel_down_sample`` semantics)."""
+    pts = points[:, :3]
+    ok = np.isfinite(pts).all(axis=1)
+    pts = pts[ok]
+    if len(pts) == 0 or voxel_size <= 0:
+        return pts
+    v = np.floor(pts / voxel_size).astype(np.int64)
+    off = 1 << 20
+    key = ((v[:, 0] + off) << 42) | ((v[:, 1] + off) << 21) | (v[:, 2] + off)
+    order = np.argsort(key)
+    key, pts = key[order], pts[order]
+    uniq, start, counts = np.unique(key, return_index=True, return_counts=True)
+    sums = np.add.reduceat(pts, start, axis=0)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def _pad(points: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    out = np.zeros((n, 3), np.float32)
+    m = np.zeros(n, bool)
+    k = min(len(points), n)
+    if k:
+        # deterministic stride subsample when oversized
+        sel = np.linspace(0, len(points) - 1, k).astype(int) if len(points) > n \
+            else np.arange(k)
+        out[:k] = points[sel, :3]
+        m[:k] = True
+    return out, m
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _knn_normals(pts: jnp.ndarray, mask: jnp.ndarray, k: int = 16) -> jnp.ndarray:
+    """Unit normals per point from k-NN PCA (smallest eigenvector)."""
+    d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(mask[None, :], d2, jnp.inf)
+    _, idx = jax.lax.top_k(-d2, k)          # (P, k) nearest incl. self
+    nbr = pts[idx]                          # (P, k, 3)
+    mean = jnp.mean(nbr, axis=1, keepdims=True)
+    c = nbr - mean
+    cov = jnp.einsum("pki,pkj->pij", c, c) / k
+    _, vecs = jnp.linalg.eigh(cov)          # ascending eigenvalues
+    return vecs[:, :, 0]                    # smallest-eigenvalue direction
+
+
+def _transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
+def _se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """Small-angle SE(3) exponential for Gauss-Newton updates; xi=[ω, t]."""
+    w, t = xi[:3], xi[3:]
+    th = jnp.linalg.norm(w) + 1e-12
+    K = jnp.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    R = (jnp.eye(3) + jnp.sin(th) / th * K
+         + (1 - jnp.cos(th)) / (th * th) * (K @ K))
+    T = jnp.eye(4)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    return T
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _icp_kernel(src, src_mask, dst, dst_mask, normals, init_T,
+                max_iterations: int, point_to_plane: bool,
+                max_corr: float = 1.0):
+    """Fixed-shape ICP. Returns (T, fitness, inlier_rmse)."""
+    n_src = jnp.maximum(jnp.sum(src_mask), 1)
+
+    def correspondences(T):
+        moved = _transform(T, src)
+        d2 = jnp.sum((moved[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(dst_mask[None, :], d2, jnp.inf)
+        j = jnp.argmin(d2, axis=1)
+        dist = jnp.sqrt(jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0])
+        w = src_mask & (dist <= max_corr)
+        return moved, j, dist, w.astype(jnp.float32)
+
+    def p2p_step(T):
+        moved, j, dist, w = correspondences(T)
+        q = dst[j]
+        sw = jnp.maximum(jnp.sum(w), 1e-6)
+        # weighted Kabsch from ORIGINAL src to matched targets
+        p_c = jnp.sum(src * w[:, None], 0) / sw
+        q_c = jnp.sum(q * w[:, None], 0) / sw
+        H = jnp.einsum("ni,nj->ij", (src - p_c) * w[:, None], q - q_c)
+        U, _, Vt = jnp.linalg.svd(H)
+        d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+        D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
+        R = Vt.T @ D @ U.T
+        t = q_c - R @ p_c
+        Tn = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+        return Tn
+
+    def p2l_step(T):
+        moved, j, dist, w = correspondences(T)
+        q, n = dst[j], normals[j]
+        r = jnp.sum((moved - q) * n, axis=1)          # signed plane residual
+        J = jnp.concatenate([jnp.cross(moved, n), n], axis=1)  # (P, 6)
+        Jw = J * w[:, None]
+        A = Jw.T @ J + 1e-6 * jnp.eye(6)
+        b = -Jw.T @ r
+        xi = jnp.linalg.solve(A, b)
+        return _se3_exp(xi) @ T
+
+    step = p2l_step if point_to_plane else p2p_step
+    T = jax.lax.fori_loop(0, max_iterations, lambda _, T: step(T), init_T)
+
+    _, _, dist, w = correspondences(T)
+    inliers = jnp.sum(w)
+    fitness = inliers / n_src
+    rmse = jnp.sqrt(jnp.sum(w * dist ** 2) / jnp.maximum(inliers, 1e-6))
+    return T, fitness, rmse
+
+
+class GeometricVerifier:
+    """Loop-closure verifier (reference geometric_verification.py:16-203
+    contract: verify() → (verified, transform|None, info dict))."""
+
+    def __init__(self, method: str = "gicp", fitness_threshold: float = 0.3,
+                 rmse_threshold: float = 0.5, max_iterations: int = 30,
+                 voxel_downsample: float = 0.3,
+                 max_correspondence_distance: float = 1.0,
+                 max_points: int = 4096):
+        self.method = method
+        self.fitness_threshold = fitness_threshold
+        self.rmse_threshold = rmse_threshold
+        self.max_iterations = max_iterations
+        self.voxel_downsample = voxel_downsample
+        self.max_correspondence_distance = max_correspondence_distance
+        self.max_points = max_points
+
+    def verify(self, source_points: np.ndarray, target_points: np.ndarray,
+               initial_transform: Optional[np.ndarray] = None
+               ) -> Tuple[bool, Optional[np.ndarray], Dict]:
+        src = voxel_downsample(source_points, self.voxel_downsample)
+        dst = voxel_downsample(target_points, self.voxel_downsample)
+        src_p, src_m = _pad(src, self.max_points)
+        dst_p, dst_m = _pad(dst, self.max_points)
+        init = np.eye(4, dtype=np.float32) if initial_transform is None \
+            else np.asarray(initial_transform, np.float32)
+
+        p2l = self.method == "gicp"
+        normals = (_knn_normals(jnp.asarray(dst_p), jnp.asarray(dst_m))
+                   if p2l else jnp.zeros_like(jnp.asarray(dst_p)))
+        T, fitness, rmse = _icp_kernel(
+            jnp.asarray(src_p), jnp.asarray(src_m),
+            jnp.asarray(dst_p), jnp.asarray(dst_m),
+            normals, jnp.asarray(init),
+            self.max_iterations, p2l, self.max_correspondence_distance)
+        T = np.asarray(T, np.float64)
+        fitness = float(fitness)
+        rmse = float(rmse)
+        info = {
+            "fitness": fitness,
+            "rmse": rmse,
+            "information_matrix": self._information_matrix(fitness),
+        }
+        verified = (fitness >= self.fitness_threshold) and (rmse <= self.rmse_threshold)
+        return (True, T, info) if verified else (False, None, info)
+
+    @staticmethod
+    def _information_matrix(fitness: float) -> np.ndarray:
+        """Diagonal heuristic scaled by fitness
+        (reference geometric_verification.py:165-203): 100 for translation,
+        1000 for rotation."""
+        info = np.eye(6)
+        info[:3, :3] *= 100.0 * fitness
+        info[3:, 3:] *= 1000.0 * fitness
+        return info
+
+
+def verify_loop_closure(source_points, target_points, method: str = "gicp",
+                        fitness_threshold: float = 0.3,
+                        rmse_threshold: float = 0.5):
+    """Convenience wrapper (reference :206-234)."""
+    return GeometricVerifier(
+        method=method, fitness_threshold=fitness_threshold,
+        rmse_threshold=rmse_threshold).verify(source_points, target_points)
+
+
+def batch_verify_candidates(query_points, candidate_points_list,
+                            method: str = "gicp",
+                            fitness_threshold: float = 0.3,
+                            rmse_threshold: float = 0.5) -> list:
+    """Verify many candidates (reference :237-271). Each verify is one jit
+    call with shared shapes, so candidates pipeline on device back-to-back
+    (the reference's ``parallel`` flag was a no-op)."""
+    v = GeometricVerifier(method=method, fitness_threshold=fitness_threshold,
+                          rmse_threshold=rmse_threshold)
+    return [v.verify(query_points, c) for c in candidate_points_list]

@@ -1,0 +1,177 @@
+"""Retrieval-layer tests: device DB correctness, spatial filtering, ICP
+registration recovery, two-stage loop closing on the synthetic world, g2o."""
+
+import numpy as np
+import pytest
+
+from neural_spectral_codec_tpu.retrieval import (
+    WassersteinRetriever, GeometricVerifier, voxel_downsample,
+    TwoStageRetrieval, save_loop_closures_g2o,
+)
+from neural_spectral_codec_tpu.keyframe import Keyframe
+from neural_spectral_codec_tpu.data.synthetic import SyntheticWorld, loop_trajectory
+from oracle import oracle_wasserstein_batch
+
+
+def _hists(rng, n, d=50):
+    h = rng.uniform(0, 1, (n, d)).astype(np.float32)
+    return h / h.sum(1, keepdims=True)
+
+
+def test_retriever_matches_oracle(rng):
+    db = _hists(rng, 200)
+    q = _hists(rng, 1)[0]
+    r = WassersteinRetriever(n_bins=50, capacity=256)
+    r.add_to_database(db)
+    idx, dist = r.query(q, top_k=5)
+    ref = oracle_wasserstein_batch(q, db)
+    order = np.argsort(ref)[:5]
+    np.testing.assert_array_equal(np.sort(idx), np.sort(order))
+    np.testing.assert_allclose(dist, np.sort(ref)[:5], rtol=1e-4, atol=1e-5)
+
+
+def test_retriever_incremental_adds(rng):
+    db = _hists(rng, 50)
+    r = WassersteinRetriever(n_bins=50, capacity=64)
+    for row in db:
+        r.add_to_database(row[None])
+    assert r.database_size == 50
+    idx, dist = r.query(db[7], top_k=1)
+    assert idx[0] == 7 and dist[0] < 1e-5
+
+
+def test_retriever_spatial_filter(rng):
+    db = _hists(rng, 20)
+    pos = np.zeros((20, 3), np.float32)
+    pos[:10, 0] = 10.0   # near the query
+    pos[10:, 0] = 200.0  # far
+    r = WassersteinRetriever(n_bins=50, capacity=32)
+    r.add_to_database(db, pos)
+    idx, _ = r.query(db[0], top_k=20, query_position=np.zeros(3),
+                     spatial_min_distance=50.0)
+    assert set(idx) == set(range(10, 20))  # near entries excluded
+
+
+def test_retriever_empty_and_capacity(rng):
+    r = WassersteinRetriever(n_bins=50, capacity=4)
+    idx, dist = r.query(_hists(rng, 1)[0])
+    assert len(idx) == 0
+    r.add_to_database(_hists(rng, 4))
+    with pytest.raises(ValueError):
+        r.add_to_database(_hists(rng, 1))
+
+
+def _cloud(rng, n=3000):
+    # structured cloud: two walls + ground, so registration is constrained
+    g = rng.uniform(-20, 20, (n // 3, 2))
+    ground = np.column_stack([g, np.zeros(len(g))])
+    w1 = np.column_stack([rng.uniform(-20, 20, n // 3),
+                          np.full(n // 3, 8.0), rng.uniform(0, 5, n // 3)])
+    w2 = np.column_stack([np.full(n - 2 * (n // 3), -12.0),
+                          rng.uniform(-20, 20, n - 2 * (n // 3)),
+                          rng.uniform(0, 5, n - 2 * (n // 3))])
+    return np.vstack([ground, w1, w2]).astype(np.float32)
+
+
+def _se3(yaw=0.0, t=(0, 0, 0)):
+    T = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T[:2, :2] = [[c, -s], [s, c]]
+    T[:3, 3] = t
+    return T
+
+
+@pytest.mark.parametrize("method", ["icp", "gicp"])
+def test_icp_recovers_transform(rng, method):
+    cloud = _cloud(rng)
+    T_true = _se3(yaw=0.05, t=(0.4, -0.3, 0.1))
+    # source = cloud moved by T_true⁻¹ so aligning source→target recovers T_true
+    src = (cloud - T_true[:3, 3]) @ T_true[:3, :3]
+    v = GeometricVerifier(method=method, voxel_downsample=0.5)
+    ok, T, info = v.verify(src, cloud)
+    assert ok, info
+    np.testing.assert_allclose(T[:3, 3], T_true[:3, 3], atol=0.1)
+    np.testing.assert_allclose(T[:3, :3], T_true[:3, :3], atol=0.05)
+    assert info["fitness"] > 0.8 and info["rmse"] < 0.3
+    # information matrix heuristic
+    im = info["information_matrix"]
+    np.testing.assert_allclose(np.diag(im)[:3], 100.0 * info["fitness"])
+    np.testing.assert_allclose(np.diag(im)[3:], 1000.0 * info["fitness"])
+
+
+def test_icp_rejects_unrelated(rng):
+    a = _cloud(rng)
+    b = rng.uniform(-20, 20, (2000, 3)).astype(np.float32) + [500, 0, 0]
+    ok, T, info = GeometricVerifier(method="icp").verify(a, b)
+    assert not ok and T is None
+
+
+def test_voxel_downsample(rng):
+    pts = rng.uniform(0, 1, (1000, 3)).astype(np.float32)
+    ds = voxel_downsample(pts, 0.5)
+    assert len(ds) <= 8  # 2x2x2 voxels
+    # each output is the mean of its voxel
+    v0 = pts[(pts < 0.5).all(axis=1)]
+    got = ds[(ds < 0.5).all(axis=1)]
+    np.testing.assert_allclose(got[0], v0.mean(axis=0), atol=1e-5)
+
+
+def test_two_stage_on_synthetic_world(rng):
+    """End-to-end: revisit in the synthetic world must be found and verified.
+
+    Note on the spatial filter: the reference excludes database entries
+    whose POSE is within 50 m of the query (two_stage_retrieval.py:158-171)
+    — meaningful only under odometry drift, where a true revisit's stored
+    pose is far from the query's drifted pose. With ground-truth poses the
+    filter would exclude every true match, so it's disabled here (its
+    masking behavior is covered by test_retriever_spatial_filter)."""
+    from neural_spectral_codec_tpu.ops import encode_points_batch, SpectralEncoderConfig
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    import jax.numpy as jnp
+
+    world = SyntheticWorld(seed=11)
+    n = 40
+    poses = loop_trajectory(n, radius=100.0, loops=2.0)
+    cfg = SpectralEncoderConfig(n_elevation=16, elevation_range_deg=(-20.0, 15.0))
+    scans = [world.scan(poses[i], n_points=4096,
+                        rng=np.random.default_rng(i)) for i in range(n)]
+    batch = jnp.asarray(np.stack([pad_points(s, 4096) for s in scans]))
+    desc = np.asarray(encode_points_batch(batch, jnp.float32(2.0), cfg))
+
+    ts = TwoStageRetrieval(top_k=3, spatial_filter_distance=0.0,
+                           n_bins=cfg.output_dim, capacity=64,
+                           verification_method="icp")
+    kfs = []
+    for i in range(n // 2):  # first lap into the database
+        kf = Keyframe(i, i, scans[i], poses[i], i * 0.1, descriptor=desc[i])
+        ts.add_keyframe(kf)
+        kfs.append(kf)
+
+    # query with a lap-2 revisit of frame 5 (n//2 frames later, same angle)
+    qi = n // 2 + 5
+    qkf = Keyframe(qi, qi, scans[qi], poses[qi], qi * 0.1, descriptor=desc[qi])
+    lcs = ts.get_loop_closures(qkf, scans[qi])
+    assert len(lcs) >= 1
+    # the matched keyframe must be spatially close to the query
+    matched = [lc["target_id"] for lc in lcs]
+    qpos = poses[qi][:3, 3]
+    dists = [np.linalg.norm(poses[m][:3, 3] - qpos) for m in matched]
+    assert min(dists) < 30.0, (matched, dists)
+
+
+def test_g2o_export(tmp_path, rng):
+    from neural_spectral_codec_tpu.retrieval import compute_pose_graph_edge
+    T = np.eye(4)
+    T[:3, 3] = [1, 2, 3]
+    edge = compute_pose_graph_edge(np.eye(4), T, T, np.eye(6))
+    edge["source_id"], edge["target_id"] = 3, 17
+    path = tmp_path / "lc.g2o"
+    save_loop_closures_g2o([edge], str(path))
+    line = path.read_text().strip().split()
+    assert line[0] == "EDGE_SE3:QUAT"
+    assert line[1] == "3" and line[2] == "17"
+    np.testing.assert_allclose([float(v) for v in line[3:6]], [1, 2, 3])
+    # quaternion written as qx qy qz qw for identity rotation: 0 0 0 1
+    np.testing.assert_allclose([float(v) for v in line[6:10]], [0, 0, 0, 1])
+    # 21 upper-triangular info entries
+    assert len(line) == 10 + 21
