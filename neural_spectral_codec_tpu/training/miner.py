@@ -1,0 +1,135 @@
+"""Triplet mining as vmapped all-pairs masking + on-device hard-negative
+argmin.
+
+Reference semantics (/root/reference/src/gnn/triplet_miner.py):
+  * positives: spatial distance < 5 m AND temporal gap ≥ 30 frames
+  * negatives: 10 m < distance < 50 m AND temporal gap ≥ 30 frames
+  * hard negative = candidate with the smallest W₁ distance to the anchor
+    (:314-359); "semi-hard" = median candidate; "random" = uniform
+  * per-sequence mining when sequence ids are given (:88-114)
+
+TPU-first: the reference's per-anchor cKDTree ball queries + Python loops
+become one fixed-shape program per sequence — pairwise position distances,
+boolean masks, a categorical draw for the positive, and a masked argmin
+over the anchor's W₁ row for the hard negative. Memory is bounded by
+chunking anchors; no KD-tree needed because the masks already are the ball
+queries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _mine_kernel_chunked(positions, cdfs, rng_key, params, strategy, chunk=2048):
+    """Anchor-chunked variant for sequences too large for the (n, n)
+    broadcast; same outputs."""
+    n = len(positions)
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        pos_i, neg_i, val = _mine_chunk(
+            jnp.asarray(positions), jnp.asarray(cdfs),
+            jax.random.fold_in(rng_key, s), jnp.asarray(params),
+            s, e - s, strategy)
+        outs.append((np.asarray(pos_i), np.asarray(neg_i), np.asarray(val)))
+    return tuple(np.concatenate([o[i] for o in outs]) for i in range(3))
+
+
+@functools.partial(jax.jit, static_argnames=("start", "count", "strategy"))
+def _mine_chunk(positions, cdfs, rng_key, params, start: int, count: int,
+                strategy: str):
+    n = positions.shape[0]
+    a = jax.lax.dynamic_slice_in_dim(positions, start, count)
+    acdf = jax.lax.dynamic_slice_in_dim(cdfs, start, count)
+    d = jnp.linalg.norm(a[:, None, :] - positions[None, :, :], axis=-1)
+    ai = start + jnp.arange(count)
+    gap = jnp.abs(ai[:, None] - jnp.arange(n)[None, :])
+    not_self = gap > 0
+    pos_mask = (d < params[0]) & (gap >= params[1]) & not_self
+    neg_mask = ((d >= params[2]) & (d <= params[3])
+                & (gap >= params[4]) & not_self)
+    logits = jnp.where(pos_mask, 0.0, -jnp.inf)
+    pos_idx = jax.random.categorical(rng_key, logits, axis=1)
+    w1 = jnp.sum(jnp.abs(acdf[:, None, :] - cdfs[None, :, :]), axis=-1)
+    masked = jnp.where(neg_mask, w1, jnp.inf)
+    if strategy == "hard":
+        neg_idx = jnp.argmin(masked, axis=1)
+    elif strategy == "semi-hard":
+        order = jnp.argsort(masked, axis=1)
+        cnt = jnp.sum(neg_mask, axis=1)
+        neg_idx = jnp.take_along_axis(
+            order, (cnt // 2)[:, None].astype(jnp.int32), axis=1)[:, 0]
+    else:
+        nlogits = jnp.where(neg_mask, 0.0, -jnp.inf)
+        neg_idx = jax.random.categorical(
+            jax.random.fold_in(rng_key, 1), nlogits, axis=1)
+    valid = jnp.any(pos_mask, axis=1) & jnp.any(neg_mask, axis=1)
+    return pos_idx, neg_idx, valid
+
+
+class TripletMiner:
+    def __init__(self, positive_distance_max: float = 5.0,
+                 positive_temporal_min: int = 30,
+                 negative_distance_min: float = 10.0,
+                 negative_distance_max: float = 50.0,
+                 negative_temporal_min: int = 30,
+                 mining_strategy: str = "hard",
+                 seed: int = 0):
+        self.params = np.array([
+            positive_distance_max, positive_temporal_min,
+            negative_distance_min, negative_distance_max,
+            negative_temporal_min,
+        ], dtype=np.float32)
+        self.mining_strategy = mining_strategy
+        self._key = jax.random.key(seed)
+
+    def mine_triplets(self, descriptors: np.ndarray, poses: np.ndarray,
+                      n_triplets_per_anchor: int = 1,
+                      sequence_ids: Optional[np.ndarray] = None
+                      ) -> np.ndarray:
+        """Returns (T, 3) int array of (anchor, positive, negative) GLOBAL
+        indices. Per-sequence when ``sequence_ids`` is given (temporal gaps
+        are measured within a sequence, like the reference's local
+        indices, triplet_miner.py:193-212)."""
+        positions = poses[:, :3, 3].astype(np.float32)
+        cdfs = np.cumsum(
+            descriptors / np.maximum(descriptors.sum(1, keepdims=True), 1e-12),
+            axis=1).astype(np.float32)
+
+        if sequence_ids is None:
+            sequence_ids = np.zeros(len(descriptors), np.int64)
+        triplets = []
+        for seq in np.unique(sequence_ids):
+            sel = np.where(sequence_ids == seq)[0]
+            if len(sel) < 3:
+                continue
+            for rep in range(n_triplets_per_anchor):
+                self._key, sub = jax.random.split(self._key)
+                pos_i, neg_i, valid = _mine_kernel_chunked(
+                    positions[sel], cdfs[sel], sub, self.params,
+                    self.mining_strategy)
+                anchors = np.nonzero(valid)[0]
+                tri = np.stack([sel[anchors], sel[pos_i[anchors]],
+                                sel[neg_i[anchors]]], axis=1)
+                triplets.append(tri)
+        if not triplets:
+            return np.zeros((0, 3), np.int64)
+        return np.concatenate(triplets, axis=0)
+
+
+def create_triplet_miner(positive_distance_max: float = 5.0,
+                         positive_temporal_min: int = 30,
+                         negative_distance_min: float = 10.0,
+                         negative_distance_max: float = 50.0,
+                         negative_temporal_min: int = 30,
+                         mining_strategy: str = "hard",
+                         seed: int = 0) -> TripletMiner:
+    return TripletMiner(positive_distance_max, positive_temporal_min,
+                        negative_distance_min, negative_distance_max,
+                        negative_temporal_min, mining_strategy, seed)

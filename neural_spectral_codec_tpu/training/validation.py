@@ -1,0 +1,69 @@
+"""Loop-closure Recall@K validation.
+
+Reference semantics (/root/reference/src/gnn/trainer.py:306-387):
+  * queries are "revisits": for each earlier frame i, the FIRST later frame
+    j ≥ i+skip_frames with pose distance < threshold yields query (j, i)
+    (one query per earlier frame)
+  * for a query j, candidates are all frames with |i − j| > skip_frames,
+    ranked by embedding L2 distance; a hit means any of the top-K is within
+    the pose-distance threshold.
+
+The reference's O(n²) Python loops become batched masked top-k on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def find_revisit_queries(positions: np.ndarray, distance_threshold: float = 5.0,
+                         skip_frames: int = 30) -> np.ndarray:
+    """(Q, 2) array of (query_idx j, revisited_idx i) — vectorized version
+    of trainer.py:344-351's first-revisit scan."""
+    n = len(positions)
+    d = np.linalg.norm(positions[:, None] - positions[None], axis=-1)
+    j_idx = np.arange(n)
+    band = (j_idx[None, :] - j_idx[:, None]) >= skip_frames  # j ≥ i+skip
+    hit = (d < distance_threshold) & band
+    has = hit.any(axis=1)
+    first_j = np.argmax(hit, axis=1)
+    i = np.nonzero(has)[0]
+    return np.stack([first_j[i], i], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "skip_frames"))
+def _recall_kernel(embeddings, positions, queries, k: int,
+                   distance_threshold: float, skip_frames: int):
+    n = embeddings.shape[0]
+    q = queries[:, 0]
+    qe = embeddings[q]                           # (Q, D)
+    # embedding distances query→all
+    ed = jnp.linalg.norm(qe[:, None, :] - embeddings[None, :, :], axis=-1)
+    gap = jnp.abs(q[:, None] - jnp.arange(n)[None, :])
+    ed = jnp.where(gap > skip_frames, ed, jnp.inf)  # exclude temporal nbrs
+    _, top = jax.lax.top_k(-ed, k)               # (Q, k) nearest candidates
+    qpos = positions[q]
+    cand_pos = positions[top]                    # (Q, k, 3)
+    geo = jnp.linalg.norm(cand_pos - qpos[:, None, :], axis=-1)
+    hits = jnp.any(geo < distance_threshold, axis=1)
+    return jnp.mean(hits.astype(jnp.float32))
+
+
+def recall_loop_closure(embeddings: np.ndarray, poses: np.ndarray, k: int = 1,
+                        distance_threshold: float = 5.0,
+                        skip_frames: int = 30) -> Tuple[float, int]:
+    """Recall@K over revisit queries; returns (recall, n_queries)."""
+    positions = poses[:, :3, 3].astype(np.float32)
+    queries = find_revisit_queries(positions, distance_threshold, skip_frames)
+    if len(queries) == 0:
+        return 0.0, 0
+    r = _recall_kernel(jnp.asarray(embeddings, jnp.float32),
+                       jnp.asarray(positions),
+                       jnp.asarray(queries, jnp.int32),
+                       k, distance_threshold, skip_frames)
+    return float(r), len(queries)

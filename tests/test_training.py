@@ -1,0 +1,203 @@
+"""Training-layer tests: loss semantics, miner constraint satisfaction vs a
+brute-force oracle, recall metric vs a Python-loop oracle, a short training
+run that must reduce loss and reach high recall on separable data, and
+checkpoint round-trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_spectral_codec_tpu.training import (
+    triplet_loss, TripletMiner, recall_loop_closure, find_revisit_queries,
+    GNNTrainer,
+)
+from neural_spectral_codec_tpu.models import SpectralGNN
+from neural_spectral_codec_tpu.keyframe import build_graph
+from neural_spectral_codec_tpu.data.synthetic import loop_trajectory
+from oracle import oracle_wasserstein_batch
+
+
+# ---------------- loss ----------------
+
+def test_triplet_loss_values():
+    a = jnp.zeros((2, 4))
+    p = jnp.ones((2, 4)) * 0.1   # pos dist² = 0.04
+    n = jnp.ones((2, 4))         # neg dist² = 4
+    # relu(0.04 - 4 + 0.1) = 0
+    assert float(triplet_loss(a, p, n, margin=0.1)) == 0.0
+    # swap p/n: relu(4 - 0.04 + 0.1) = 4.06
+    np.testing.assert_allclose(float(triplet_loss(a, n, p, margin=0.1)),
+                               4.06, atol=1e-6)
+
+
+def test_triplet_loss_mask():
+    a = jnp.zeros((3, 2))
+    p = jnp.ones((3, 2))
+    n = jnp.zeros((3, 2))
+    mask = jnp.array([True, True, False])
+    full = float(triplet_loss(a, p, n, margin=0.1))
+    masked = float(triplet_loss(a, p, n, margin=0.1, mask=mask))
+    np.testing.assert_allclose(masked, full, atol=1e-6)  # same per-triplet value
+    zero_mask = jnp.zeros(3, bool)
+    assert float(triplet_loss(a, p, n, mask=zero_mask)) == 0.0
+
+
+# ---------------- miner ----------------
+
+def _mining_setup(rng, n=120):
+    poses = loop_trajectory(n, radius=80.0, loops=2.0)
+    desc = rng.uniform(0, 1, (n, 32)).astype(np.float32)
+    desc /= desc.sum(1, keepdims=True)
+    return poses, desc
+
+
+def test_miner_constraints(rng):
+    poses, desc = _mining_setup(rng)
+    m = TripletMiner()
+    tri = m.mine_triplets(desc, poses)
+    assert len(tri) > 0
+    pos = poses[:, :3, 3]
+    for a, p, n in tri:
+        dp = np.linalg.norm(pos[a] - pos[p])
+        dn = np.linalg.norm(pos[a] - pos[n])
+        assert dp < 5.0 and abs(a - p) >= 30
+        assert 10.0 <= dn <= 50.0 and abs(a - n) >= 30
+
+
+def test_miner_hard_negative_is_argmin_w1(rng):
+    poses, desc = _mining_setup(rng)
+    m = TripletMiner(mining_strategy="hard")
+    tri = m.mine_triplets(desc, poses)
+    pos = poses[:, :3, 3]
+    n_kf = len(desc)
+    for a, p, n in tri[:20]:
+        d = np.linalg.norm(pos - pos[a], axis=1)
+        gap = np.abs(np.arange(n_kf) - a)
+        cand = np.where((d >= 10) & (d <= 50) & (gap >= 30))[0]
+        w1 = oracle_wasserstein_batch(desc[a], desc[cand])
+        assert n == cand[np.argmin(w1)]
+
+
+def test_miner_per_sequence_isolation(rng):
+    poses, desc = _mining_setup(rng)
+    seq = np.zeros(len(desc), np.int64)
+    seq[60:] = 1
+    m = TripletMiner()
+    tri = m.mine_triplets(desc, poses, sequence_ids=seq)
+    for a, p, n in tri:
+        assert seq[a] == seq[p] == seq[n]
+
+
+def test_miner_empty_when_no_revisits(rng):
+    # straight line: no positives (never revisits with ≥30-frame gap)
+    n = 100
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * 2.0
+    desc = rng.uniform(0, 1, (n, 16)).astype(np.float32)
+    tri = TripletMiner().mine_triplets(desc, poses)
+    assert len(tri) == 0
+
+
+# ---------------- recall ----------------
+
+def recall_oracle(emb, poses, k, thresh=5.0, skip=30):
+    """Direct transcription of the reference's evaluation loops
+    (trainer.py:332-387) as an oracle."""
+    n = len(emb)
+    pos = poses[:, :3, 3]
+    pd = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+    queries = []
+    for i in range(n):
+        for j in range(i + skip, n):
+            if pd[i, j] < thresh:
+                queries.append((j, i))
+                break
+    if not queries:
+        return 0.0, 0
+    ed = np.linalg.norm(emb[:, None] - emb[None], axis=-1)
+    correct = 0
+    for q, _ in queries:
+        cands = [(i, ed[q, i], pd[q, i]) for i in range(n) if abs(i - q) > skip]
+        cands.sort(key=lambda t: t[1])
+        if any(g < thresh for _, _, g in cands[:k]):
+            correct += 1
+    return correct / len(queries), len(queries)
+
+
+def test_recall_matches_oracle(rng):
+    n = 80
+    poses = loop_trajectory(n, radius=60.0, loops=2.0)
+    emb = rng.normal(size=(n, 16)).astype(np.float32)
+    for k in (1, 5):
+        got, nq = recall_loop_closure(emb, poses, k=k)
+        ref, nq_ref = recall_oracle(emb, poses, k)
+        assert nq == nq_ref
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_recall_perfect_embeddings():
+    """Embeddings equal to positions → R@1 must be 1.0 on a loop."""
+    n = 80
+    poses = loop_trajectory(n, radius=60.0, loops=2.0)
+    emb = poses[:, :3, 3].astype(np.float32)
+    r, nq = recall_loop_closure(emb, poses, k=1)
+    assert nq > 0 and r == 1.0
+
+
+# ---------------- trainer ----------------
+
+def test_training_improves_recall(rng, tmp_path):
+    """Separable synthetic task: descriptors carry a noisy place signal;
+    training must drive loss down and produce usable recall."""
+    n, d = 120, 32
+    poses = loop_trajectory(n, radius=80.0, loops=2.0)
+    angle = np.arctan2(poses[:, 1, 3], poses[:, 0, 3])
+    place = np.stack([np.cos(angle * f) for f in range(1, d + 1)], axis=1)
+    desc = (place + rng.normal(0, 0.3, (n, d))).astype(np.float32)
+    desc = np.abs(desc)
+    desc /= desc.sum(1, keepdims=True)
+    graph = build_graph(desc, poses, temporal_neighbors=5)
+
+    model = SpectralGNN(input_dim=d, hidden_dim=16, output_dim=d,
+                        n_layers=3, edge_dim=2, dropout=0.0)
+    tr = GNNTrainer(model=model, checkpoint_dir=str(tmp_path),
+                    triplets_per_step=256, learning_rate=1e-3)
+    miner = TripletMiner(seed=1)
+    losses = []
+    for epoch in range(10):
+        tr.epoch = epoch
+        losses.append(tr.train_epoch(graph, miner, poses, desc))
+    # mechanism checks: optimization makes progress and embeddings stay
+    # place-discriminative (the untrained input-residual baseline is already
+    # decent on this toy task, so we assert usable recall, not improvement)
+    assert losses[-1] < 0.5 * losses[0]
+    m = tr.validate(graph, poses)
+    assert m["n_queries"] > 0
+    assert m["recall@5"] > 0.2
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    n, d = 60, 16
+    poses = loop_trajectory(n, radius=80.0, loops=2.0)
+    desc = rng.uniform(0, 1, (n, d)).astype(np.float32)
+    graph = build_graph(desc, poses)
+    model = SpectralGNN(input_dim=d, hidden_dim=8, output_dim=d,
+                        n_layers=2, edge_dim=2, dropout=0.0)
+    tr = GNNTrainer(model=model, checkpoint_dir=str(tmp_path),
+                    triplets_per_step=128)
+    tr.train_epoch(graph, TripletMiner(), poses, desc)
+    tr.best_val_metric = 0.5
+    tr.global_step = 7
+    tr.save_checkpoint("best_model")
+
+    tr2 = GNNTrainer(model=model, checkpoint_dir=str(tmp_path),
+                     triplets_per_step=128)
+    tr2.load_checkpoint("best_model")
+    assert tr2.global_step == 7
+    assert tr2.best_val_metric == 0.5
+    e1 = tr.embed(graph)
+    e2 = tr2.embed(graph)
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
+    with pytest.raises(FileNotFoundError):
+        tr2.load_checkpoint("nope")
