@@ -1,0 +1,120 @@
+"""Row-sharded Wasserstein retrieval database.
+
+Scaling plan from SURVEY §5.7: shard the (capacity, n_bins) CDF buffer's
+rows across the mesh; a query computes local W₁ distances + local top-k on
+each chip's slab, then one small all-gather of (k indices, k distances) per
+chip and a global top-k — an all-gather-free scan of the database itself.
+Per-chip HBM traffic drops by the mesh size, so query latency scales down
+linearly until the tiny gather dominates.
+
+Implemented with ``jax.shard_map`` so the collective structure is explicit
+(one ``all_gather`` of 2·k·n_dev floats over ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
+
+
+def _make_query_fn(mesh: Mesh, top_k: int):
+    rows = P("data", None)
+    repl = P()
+
+    def local_query(db_cdf, db_pos, size, query_cdf, qp):
+        # db_cdf: (rows_per_shard, n_bins) local slab
+        shard = jax.lax.axis_index("data")
+        n_local = db_cdf.shape[0]
+        base = shard * n_local
+        dists = jnp.sum(jnp.abs(db_cdf - query_cdf[None, :]), axis=1)
+        gidx = base + jnp.arange(n_local)
+        invalid = gidx >= size
+        spatial = jnp.linalg.norm(db_pos - qp[None, :3], axis=1) < qp[3]
+        masked = jnp.where(invalid | ((qp[3] > 0) & spatial), jnp.inf, dists)
+        k = min(top_k, n_local)
+        neg_local, idx_local = jax.lax.top_k(-masked, k)
+        # one small all-gather over ICI: (n_dev, k) each
+        all_neg = jax.lax.all_gather(neg_local, "data").reshape(-1)
+        all_idx = jax.lax.all_gather(gidx[idx_local], "data").reshape(-1)
+        neg_top, pos = jax.lax.top_k(all_neg, top_k)
+        return all_idx[pos], -neg_top
+
+    fn = jax.shard_map(
+        local_query, mesh=mesh,
+        in_specs=(rows, rows, repl, repl, repl),
+        out_specs=(repl, repl),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+class ShardedWassersteinRetriever:
+    """Drop-in sharded variant of ``retrieval.retriever.WassersteinRetriever``:
+    same add/query surface, database rows sharded over ``mesh``."""
+
+    def __init__(self, mesh: Mesh, n_bins: int = 800,
+                 capacity: int = 100_000, epsilon: float = 1e-8):
+        self.mesh = mesh
+        self.n_devices = mesh.shape["data"]
+        # capacity rounded up so every shard slab is equal
+        self.capacity = -(-capacity // self.n_devices) * self.n_devices
+        self.n_bins = n_bins
+        self.epsilon = epsilon
+        self.database_size = 0
+        sh_rows = NamedSharding(mesh, P("data", None))
+        self._db_cdf = jax.device_put(
+            jnp.zeros((self.capacity, n_bins), jnp.float32), sh_rows)
+        self._db_pos = jax.device_put(
+            jnp.zeros((self.capacity, 3), jnp.float32), sh_rows)
+        self._query_fns = {}
+
+    def add_to_database(self, histograms: np.ndarray,
+                        positions: Optional[np.ndarray] = None) -> None:
+        h = jnp.asarray(np.atleast_2d(np.asarray(histograms, np.float32)))
+        n = h.shape[0]
+        if self.database_size + n > self.capacity:
+            raise ValueError("Database capacity exceeded")
+        cdf = histogram_cdf(h, self.epsilon)
+        sl = slice(self.database_size, self.database_size + n)
+        # .at[].set preserves the row sharding of the buffer
+        self._db_cdf = self._db_cdf.at[sl].set(cdf)
+        if positions is not None:
+            self._db_pos = self._db_pos.at[sl].set(
+                jnp.asarray(np.atleast_2d(positions), jnp.float32))
+        self.database_size += n
+
+    def query(self, query_hist: np.ndarray, top_k: int = 10,
+              query_position: Optional[np.ndarray] = None,
+              spatial_min_distance: float = 0.0
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.database_size == 0:
+            return np.array([], np.int64), np.array([])
+        k = int(min(top_k, self.database_size))
+        if k not in self._query_fns:
+            self._query_fns[k] = _make_query_fn(self.mesh, k)
+        q_cdf = histogram_cdf(jnp.asarray(query_hist, jnp.float32),
+                              self.epsilon)
+        qp = np.zeros(4, np.float32)
+        if query_position is not None and spatial_min_distance > 0:
+            qp[:3] = np.asarray(query_position)
+            qp[3] = spatial_min_distance
+        idx, dist = self._query_fns[k](
+            self._db_cdf, self._db_pos, jnp.int32(self.database_size),
+            q_cdf, jnp.asarray(qp))
+        idx, dist = np.asarray(idx), np.asarray(dist)
+        keep = np.isfinite(dist)
+        return idx[keep], dist[keep]
+
+    def clear_database(self) -> None:
+        self.database_size = 0
+        sh_rows = NamedSharding(self.mesh, P("data", None))
+        self._db_cdf = jax.device_put(
+            jnp.zeros((self.capacity, self.n_bins), jnp.float32), sh_rows)
+        self._db_pos = jax.device_put(
+            jnp.zeros((self.capacity, 3), jnp.float32), sh_rows)

@@ -1,0 +1,195 @@
+"""Multi-chip sharding paths on the virtual 8-device CPU mesh.
+
+Each test checks the sharded path is numerically identical to the
+single-device path — sharding must never change the math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_spectral_codec_tpu.keyframe.graph import build_graph
+from neural_spectral_codec_tpu.models.gnn import (
+    SpectralGNN, gnn_forward, init_gnn,
+)
+from neural_spectral_codec_tpu.ops.spectral import (
+    SpectralEncoderConfig, encode_points_batch,
+)
+from neural_spectral_codec_tpu.ops.wasserstein import wasserstein_batch
+from neural_spectral_codec_tpu.parallel import (
+    ShardedWassersteinRetriever,
+    create_mesh,
+    make_sharded_encoder,
+    make_sharded_train_step,
+    pad_to_multiple,
+)
+from neural_spectral_codec_tpu.parallel.train import make_sharded_eval_step
+from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+from neural_spectral_codec_tpu.training.trainer import make_optimizer, train_step
+from tests.conftest import synthetic_scan
+
+
+def _tiny_graph(rng, n_nodes=16, dim=32):
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_nodes, 1, 1))
+    poses[:, 0, 3] = np.arange(n_nodes, dtype=np.float32) * 2.0
+    feats = rng.random((n_nodes, dim), dtype=np.float32)
+    return build_graph(feats, poses)
+
+
+def test_mesh_creation():
+    mesh = create_mesh(8)
+    assert mesh.shape["data"] == 8
+
+
+def test_sharded_encoder_matches_single_device(rng):
+    cfg = SpectralEncoderConfig(n_elevation=16, n_azimuth=90, n_bins=20)
+    pts = np.stack([synthetic_scan(rng, 4000) for _ in range(8)])
+    pts = np.nan_to_num(pts)
+    mesh = create_mesh(8)
+    enc = make_sharded_encoder(cfg, mesh)
+    alpha = jnp.float32(2.0)
+    got = np.asarray(enc(jnp.asarray(pts), alpha))
+    want = np.asarray(encode_points_batch(jnp.asarray(pts), alpha, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("shard_nodes", [False, True])
+def test_sharded_grads_match_single_device(rng, shard_nodes):
+    """Gradients under SPMD sharding must equal the single-device ones
+    (up to fp32 reduction-order noise). Raw grads are compared — Adam
+    amplifies near-zero-gradient noise by g/√v, so comparing post-update
+    params is flaky by construction."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from neural_spectral_codec_tpu.training.loss import triplet_loss
+
+    model = SpectralGNN(input_dim=32, hidden_dim=16, output_dim=32,
+                        dropout=0.0)
+    graph = _tiny_graph(rng, n_nodes=16, dim=32)
+    params, bs = init_gnn(model, jax.random.key(0))
+
+    n_trip = 16
+    tri = rng.integers(0, 16, (n_trip, 3))
+    g = (jnp.asarray(graph.features), jnp.asarray(graph.neighbors),
+         jnp.asarray(graph.mask), jnp.asarray(graph.edge_feats))
+    tr = (jnp.asarray(tri[:, 0]), jnp.asarray(tri[:, 1]),
+          jnp.asarray(tri[:, 2]), jnp.asarray(np.ones(n_trip, bool)))
+
+    def loss_fn(p, features, neighbors, mask, edge_feats,
+                a_idx, p_idx, n_idx, tmask):
+        emb, _ = model.apply(
+            {"params": p, "batch_stats": bs},
+            features, neighbors, mask, edge_feats, train=True,
+            rngs={"dropout": jax.random.key(1)}, mutable=["batch_stats"])
+        return triplet_loss(emb[a_idx], emb[p_idx], emb[n_idx],
+                            margin=0.1, mask=tmask)
+
+    ref_loss, ref_grads = jax.jit(
+        jax.value_and_grad(loss_fn))(params, *g, *tr)
+
+    mesh = create_mesh(8)
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+    nodes2 = NamedSharding(mesh, P("data", None)) if shard_nodes else repl
+    nodes3 = NamedSharding(mesh, P("data", None, None)) if shard_nodes else repl
+    sharded = jax.jit(jax.value_and_grad(loss_fn),
+                      in_shardings=(repl, nodes2, nodes2, nodes2, nodes3,
+                                    dp, dp, dp, dp))
+    got_loss, got_grads = sharded(params, *g, *tr)
+
+    np.testing.assert_allclose(float(got_loss), float(ref_loss),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(got_grads), jax.tree.leaves(ref_grads)):
+        a, b = np.asarray(a), np.asarray(b)
+        # reassociation noise scales with the leaf's grad magnitude; leaves
+        # whose true grad is structurally zero (biases feeding BatchNorm)
+        # are pure noise on both sides and covered by the atol floor
+        np.testing.assert_allclose(a, b, atol=3e-5 + 1e-5 * np.abs(b).max())
+
+
+@pytest.mark.parametrize("shard_nodes", [False, True])
+def test_sharded_train_step_runs_and_learns(rng, shard_nodes):
+    """Public sharded train-step API: loss matches the single-device step
+    exactly on step 1 and stays in lockstep (to fp32 noise) over a few
+    steps of real optimization."""
+    model = SpectralGNN(input_dim=32, hidden_dim=16, output_dim=32,
+                        dropout=0.0)
+    graph = _tiny_graph(rng, n_nodes=16, dim=32)
+    params, bs = init_gnn(model, jax.random.key(0))
+    opt = make_optimizer()
+
+    tri = rng.integers(0, 16, (16, 3))
+    g = (jnp.asarray(graph.features), jnp.asarray(graph.neighbors),
+         jnp.asarray(graph.mask), jnp.asarray(graph.edge_feats))
+    tr = (jnp.asarray(tri[:, 0]), jnp.asarray(tri[:, 1]),
+          jnp.asarray(tri[:, 2]), jnp.asarray(np.ones(16, bool)))
+
+    mesh = create_mesh(8)
+    step = make_sharded_train_step(model, opt, mesh, shard_nodes=shard_nodes)
+
+    ref_state = (params, bs, opt.init(params))
+    got_state = (params, bs, opt.init(params))
+    for i in range(3):
+        key = jax.random.key(i)
+        *ref_state, ref_loss = train_step(
+            model, opt, *ref_state, *g, *tr, 0.1, key)
+        *got_state, got_loss = step(*got_state, *g, *tr, 0.1, key)
+        np.testing.assert_allclose(float(got_loss), float(ref_loss),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_eval_matches_single_device(rng):
+    model = SpectralGNN(input_dim=32, hidden_dim=16, output_dim=32,
+                        dropout=0.0)
+    graph = _tiny_graph(rng, n_nodes=24, dim=32)
+    params, bs = init_gnn(model, jax.random.key(0))
+    mesh = create_mesh(8)
+    ev = make_sharded_eval_step(model, mesh, shard_nodes=True)
+    got = np.asarray(ev(params, bs, jnp.asarray(graph.features),
+                        jnp.asarray(graph.neighbors),
+                        jnp.asarray(graph.mask),
+                        jnp.asarray(graph.edge_feats)))
+    want = np.asarray(gnn_forward(model, params, bs, graph))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_retriever_matches_single_device(rng):
+    n, bins = 64, 50
+    hists = rng.random((n, bins), dtype=np.float32)
+    hists /= hists.sum(axis=1, keepdims=True)
+    pos = rng.random((n, 3), dtype=np.float32) * 100
+
+    mesh = create_mesh(8)
+    sharded = ShardedWassersteinRetriever(mesh, n_bins=bins, capacity=64)
+    plain = WassersteinRetriever(n_bins=bins, capacity=64)
+    sharded.add_to_database(hists, pos)
+    plain.add_to_database(hists, pos)
+
+    q = hists[7]
+    qp = pos[7]
+    i1, d1 = sharded.query(q, top_k=5, query_position=qp,
+                           spatial_min_distance=20.0)
+    i2, d2 = plain.query(q, top_k=5, query_position=qp,
+                         spatial_min_distance=20.0)
+    np.testing.assert_allclose(np.sort(d1), np.sort(d2), rtol=1e-5, atol=1e-7)
+    assert set(i1.tolist()) == set(i2.tolist())
+
+
+def test_sharded_retriever_partial_fill(rng):
+    """Database smaller than one shard slab must still answer correctly."""
+    mesh = create_mesh(8)
+    r = ShardedWassersteinRetriever(mesh, n_bins=20, capacity=80)
+    h = rng.random((3, 20), dtype=np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    r.add_to_database(h)
+    idx, dist = r.query(h[1], top_k=10)
+    assert len(idx) == 3
+    assert idx[0] == 1 and dist[0] < 1e-6
+
+
+def test_pad_to_multiple():
+    a = np.arange(10)
+    p, m = pad_to_multiple(a, 8)
+    assert p.shape[0] == 16 and m.sum() == 10
+    b, mb = pad_to_multiple(np.ones((8, 2)), 8)
+    assert b.shape == (8, 2) and mb.all()
