@@ -138,6 +138,30 @@ def build_graph_from_keyframes(
                        max_loop_per_node)
 
 
+def pad_graph(g: KeyframeGraph, n_slots: int) -> KeyframeGraph:
+    """Pad the node axis to ``n_slots`` with isolated nodes (mask all
+    False → self-loop-only under the GAT). Fixed shapes keep one compiled
+    executable reusable across growing/shrinking graphs; eval-mode outputs
+    for real nodes are unaffected (BatchNorm uses running stats)."""
+    n = g.n_nodes
+    if n_slots < n:
+        raise ValueError(f"n_slots {n_slots} < graph size {n}")
+    if n_slots == n:
+        return g
+    pad = n_slots - n
+    return KeyframeGraph(
+        features=np.concatenate(
+            [g.features, np.zeros((pad, g.features.shape[1]), np.float32)]),
+        neighbors=np.concatenate(
+            [g.neighbors, np.zeros((pad, g.max_degree), np.int32)]),
+        mask=np.concatenate([g.mask, np.zeros((pad, g.max_degree), bool)]),
+        edge_feats=np.concatenate(
+            [g.edge_feats,
+             np.zeros((pad, g.max_degree, g.edge_feats.shape[2]),
+                      np.float32)]),
+    )
+
+
 def graph_to_coo(g: KeyframeGraph) -> Tuple[np.ndarray, np.ndarray]:
     """Dense → COO (2, E) edge_index + (E, 2) edge_attr, PyG convention
     (edge j→i appears as column [j, i]). For parity tests / export."""

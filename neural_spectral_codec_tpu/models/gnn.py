@@ -226,12 +226,21 @@ class LocalUpdateGNN:
     def forward_full(self, graph: KeyframeGraph) -> jnp.ndarray:
         return gnn_forward(self.model, self.params, self.batch_stats, graph)
 
+    @staticmethod
+    def _padded(sub):
+        """Pad the subgraph node axis to the next power of two (min 8) so
+        the jitted forward compiles once per bucket, not once per size."""
+        from neural_spectral_codec_tpu.keyframe.graph import pad_graph
+        n = max(sub.n_nodes, 8)
+        return pad_graph(sub, 1 << (n - 1).bit_length())
+
     def forward_local(self, manager, center_node: int,
                       k_hops: Optional[int] = None) -> jnp.ndarray:
         """Embedding for ``center_node`` from its k-hop subgraph only."""
         k = self.k_hops if k_hops is None else k_hops
         sub, mapping = manager.get_local_subgraph(center_node, k)
-        emb = gnn_forward(self.model, self.params, self.batch_stats, sub)
+        emb = gnn_forward(self.model, self.params, self.batch_stats,
+                          self._padded(sub))
         return emb[mapping[center_node]][None]
 
     def update_embeddings_local(self, manager, center_node: int,
@@ -242,7 +251,8 @@ class LocalUpdateGNN:
         k = self.k_hops if k_hops is None else k_hops
         sub, mapping = manager.get_local_subgraph(center_node, k)
         emb = jax.device_get(
-            gnn_forward(self.model, self.params, self.batch_stats, sub))
+            gnn_forward(self.model, self.params, self.batch_stats,
+                        self._padded(sub)))
         core = manager.get_k_hop_neighbors(center_node, max(k - 1, 0))
         for node in core:
             manager.keyframes[node].embedding = emb[mapping[node]]

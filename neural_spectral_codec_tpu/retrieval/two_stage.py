@@ -36,7 +36,9 @@ class TwoStageRetrieval:
     def __init__(self, top_k: int = 10, spatial_filter_distance: float = 50.0,
                  context_window: int = 10, fitness_threshold: float = 0.3,
                  rmse_threshold: float = 0.5, verification_method: str = "gicp",
-                 n_bins: int = 800, capacity: int = 100_000):
+                 n_bins: int = 800, capacity: int = 100_000,
+                 icp_max_iterations: int = 30, voxel_downsample: float = 0.3,
+                 verification_max_points: int = 4096):
         self.top_k = top_k
         self.spatial_filter_distance = spatial_filter_distance
         self.context_window = context_window
@@ -45,6 +47,9 @@ class TwoStageRetrieval:
             method=verification_method,
             fitness_threshold=fitness_threshold,
             rmse_threshold=rmse_threshold,
+            max_iterations=icp_max_iterations,
+            voxel_downsample=voxel_downsample,
+            max_points=verification_max_points,
         )
         self.keyframes: List[Keyframe] = []
 

@@ -1,0 +1,112 @@
+"""End-to-end pipeline: offline training and online loop closing on the
+synthetic world (parametric loop trajectory with known revisits), plus the
+train_multi_dataset CLI. This is the integration test the reference never
+had (SURVEY §4)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from neural_spectral_codec_tpu.data.synthetic import SyntheticLoader
+from neural_spectral_codec_tpu.pipeline import (
+    BatchEncoder, NeuralSpectralCodecPipeline)
+from neural_spectral_codec_tpu.utils.config import load_config
+
+CONFIGS = Path(__file__).resolve().parent.parent / "configs"
+
+
+def small_config(tmp_path, **overrides):
+    cfg = load_config(str(CONFIGS / "training.yaml"))
+    cfg["encoding"].update({"n_elevation": 16, "n_azimuth": 90, "n_bins": 20,
+                            "target_elevation_bins": 8, "max_points": 8192})
+    cfg["gnn"].update({"input_dim": 160, "hidden_dim": 32, "output_dim": 160})
+    cfg["keyframe"].update({"distance_threshold": 2.0})
+    cfg["training"].update({"n_epochs": 2, "triplets_per_step": 256})
+    cfg["system"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+    cfg["retrieval"]["database_capacity"] = 2000
+    for k, v in overrides.items():
+        cfg[k].update(v)
+    return cfg
+
+
+def test_batch_encoder_chunking(rng):
+    from neural_spectral_codec_tpu.ops.spectral import SpectralEncoderConfig
+    cfg = SpectralEncoderConfig(n_elevation=16, n_azimuth=90, n_bins=20,
+                                target_elevation_bins=8)
+    enc = BatchEncoder(cfg, max_points=4096, batch_size=4)
+    clouds = [rng.random((1000 + 100 * i, 4)).astype(np.float32) * 40
+              for i in range(7)]  # 2 chunks, second partial
+    d = enc.encode(clouds)
+    assert d.shape == (7, cfg.output_dim)
+    np.testing.assert_allclose(d.sum(axis=1), 1.0, atol=1e-4)
+    one = enc.encode_one(clouds[3])
+    np.testing.assert_allclose(one, d[3], atol=1e-6)
+
+
+def test_pipeline_train_offline(tmp_path):
+    cfg = small_config(tmp_path)
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    train = SyntheticLoader(n_frames=120, seed=0, n_points=4096)
+    val = SyntheticLoader(n_frames=60, seed=1, n_points=4096)
+    trainer = pipe.train_offline([train], [val], n_epochs=2)
+    assert len(trainer.train_losses) == 2
+    assert (tmp_path / "ckpt" / "final_model").exists()
+    assert pipe.params is not None
+
+
+def test_pipeline_online_produces_loop_closures(tmp_path):
+    # The reference-semantics spatial filter excludes candidates whose
+    # (estimated) pose is within 50 m of the query — with ground-truth
+    # poses that excludes true revisits, so disable it and shrink ICP
+    # budgets: this test exercises the full online plumbing, retrieval
+    # QUALITY is covered by the recall tests.
+    cfg = small_config(tmp_path, retrieval={
+        "spatial_filter_distance": 0.0, "top_k": 3,
+        "icp_max_iterations": 10, "verification_max_points": 1024})
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    loader = SyntheticLoader(n_frames=100, seed=0, n_points=4096, loops=2.0)
+    g2o_path = tmp_path / "loops.g2o"
+    edges = pipe.run_online(loader, loop_closure_interval=10,
+                            output_g2o=str(g2o_path))
+    # the second lap must produce verified loop closures
+    assert len(edges) > 0
+    assert g2o_path.exists()
+    text = g2o_path.read_text()
+    assert "EDGE_SE3:QUAT" in text
+    for e in edges:
+        assert e["fitness"] >= cfg["retrieval"]["icp_fitness_threshold"]
+        assert e["rmse"] <= cfg["retrieval"]["icp_rmse_threshold"]
+
+
+def test_checkpoint_roundtrip_through_pipeline(tmp_path):
+    cfg = small_config(tmp_path)
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    train = SyntheticLoader(n_frames=100, seed=0, n_points=4096)
+    pipe.train_offline([train], [], n_epochs=1)
+
+    pipe2 = NeuralSpectralCodecPipeline(small_config(tmp_path))
+    pipe2.load_checkpoint(str(tmp_path / "ckpt" / "final_model"))
+    import jax
+    for a, b in zip(jax.tree.leaves(pipe.params),
+                    jax.tree.leaves(pipe2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_multi_dataset_cli(tmp_path, monkeypatch):
+    import yaml
+    cfg = small_config(tmp_path)
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    import train_multi_dataset
+    trainer = train_multi_dataset.main([
+        "--config", str(cfg_file),
+        "--checkpoint-dir", str(tmp_path / "cli_ckpt"),
+        "--epochs", "1",
+        "--synthetic", "80",
+    ])
+    assert trainer.epoch == 0
+    assert (tmp_path / "cli_ckpt" / "final_model").exists()
