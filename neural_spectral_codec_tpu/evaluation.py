@@ -1,0 +1,203 @@
+"""Evaluation / benchmark harness.
+
+The reference DEFINES this suite in configs/inference.yaml:107-121
+(sequences, recall@K / precision / F1 metrics, a results JSON) but ships
+no implementing code (SURVEY §4.3). This module implements it:
+
+  * ``evaluate_place_recognition``: batched on-device Recall@K /
+    Precision@1 / F1@1 over revisit queries (ground-truth revisit =
+    another frame < ``distance_threshold`` away and ≥ ``skip_frames``
+    older — same protocol as the reference's validation,
+    reference trainer.py:306-387, generalized to the full metric list).
+  * ``run_benchmark``: per-sequence descriptor extraction → optional GNN
+    enhancement → metrics + timing, saved as one results JSON.
+
+Self-check utilities the reference ships as library functions are here
+too: ``rotation_invariance_check`` (reference spectral_encoder.py:365-415)
+and ``quantization_error_stats`` (reference quantization.py:356-384).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def evaluate_place_recognition(embeddings: np.ndarray, poses: np.ndarray,
+                               k_values: Sequence[int] = (1, 5, 10),
+                               distance_threshold: float = 5.0,
+                               skip_frames: int = 30) -> Dict[str, float]:
+    """Recall@K, Precision@1, F1@1 over revisit queries, all batched on
+    device (the reference's O(n²) Python-loop validation, but it never
+    computed precision/F1 despite promising them in config)."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.training.validation import (
+        find_revisit_queries)
+
+    positions = poses[:, :3, 3]
+    queries = find_revisit_queries(positions, distance_threshold, skip_frames)
+    out: Dict[str, float] = {"n_queries": len(queries)}
+    if len(queries) == 0:
+        for k in k_values:
+            out[f"recall@{k}"] = 0.0
+        out.update({"precision@1": 0.0, "f1@1": 0.0})
+        return out
+
+    import jax
+
+    emb = jnp.asarray(embeddings)
+    pos = jnp.asarray(positions)
+    q = jnp.asarray(queries[:, 0])  # query frame of each (query, revisit)
+    kmax = max(k_values)
+
+    # distances from each query embedding to all db embeddings, excluding
+    # temporal neighbors (same protocol as validation._recall_kernel)
+    d = jnp.linalg.norm(emb[q][:, None, :] - emb[None, :, :], axis=-1)
+    gap = jnp.abs(q[:, None] - jnp.arange(len(embeddings))[None, :])
+    d = jnp.where(gap > skip_frames, d, jnp.inf)
+    _, topk = jax.lax.top_k(-d, kmax)
+
+    geo = jnp.linalg.norm(pos[q][:, None, :] - pos[topk], axis=-1)
+    hit = geo < distance_threshold  # (Q, kmax)
+    hit = np.asarray(hit)
+
+    for k in k_values:
+        out[f"recall@{k}"] = float(hit[:, :k].any(axis=1).mean())
+    # top-1 precision == recall@1 under one-prediction-per-query; report
+    # both for the config's metric list
+    out["precision@1"] = float(hit[:, 0].mean())
+    r, p = out.get("recall@1", 0.0), out["precision@1"]
+    out["f1@1"] = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# self-checks (reference inline test functions, shipped as library code)
+# ---------------------------------------------------------------------------
+
+def rotation_invariance_check(points: np.ndarray, encoder_config,
+                              alpha: float = 2.0, n_rotations: int = 8,
+                              max_points: int = 131072) -> Dict[str, float]:
+    """Encode a scan at ``n_rotations`` z-rotations, report the max/mean
+    histogram difference (reference spectral_encoder.py:365-415)."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    from neural_spectral_codec_tpu.ops.spectral import encode_points_batch
+
+    batch = []
+    for i in range(n_rotations):
+        th = 2 * np.pi * i / n_rotations
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0],
+                      [0, 0, 1]], np.float32)
+        p = points.copy()
+        p[:, :3] = p[:, :3] @ R.T
+        batch.append(pad_points(p, max_points))
+    d = np.asarray(encode_points_batch(
+        jnp.asarray(np.stack(batch)), jnp.float32(alpha), encoder_config))
+    diffs = np.abs(d - d[0]).max(axis=1)
+    return {"max_difference": float(diffs.max()),
+            "mean_difference": float(diffs.mean()),
+            "n_rotations": n_rotations}
+
+
+def quantization_error_stats(histogram: np.ndarray) -> Dict[str, float]:
+    """Quantize/dequantize round-trip error stats
+    (reference quantization.py:356-384)."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.quantization import dequantize, quantize
+
+    h = np.asarray(histogram, np.float32)
+    h = h / max(h.sum(), 1e-12)
+    rec = np.asarray(dequantize(quantize(jnp.asarray(h))))
+    err = np.abs(rec - h)
+    return {"max_error": float(err.max()),
+            "mean_error": float(err.mean()),
+            "sum_preserved": bool(abs(rec.sum() - 1.0) < 1e-5)}
+
+
+# ---------------------------------------------------------------------------
+# full benchmark
+# ---------------------------------------------------------------------------
+
+def run_benchmark(loaders: Sequence, config: Dict,
+                  checkpoint_path: Optional[str] = None,
+                  results_path: Optional[str] = None) -> Dict:
+    """Per-sequence benchmark: keyframes → descriptors → (optional GNN) →
+    place-recognition metrics + timing. Implements the metric list of
+    reference configs/inference.yaml:107-121."""
+    from neural_spectral_codec_tpu.keyframe.graph import (
+        build_graph_from_keyframes)
+    from neural_spectral_codec_tpu.models.gnn import gnn_forward
+    from neural_spectral_codec_tpu.pipeline import NeuralSpectralCodecPipeline
+
+    bench_cfg = config.get("benchmark", {})
+    val_cfg = config.get("validation", {})
+    k_values = sorted({int(m.split("@")[1]) for m in bench_cfg.get(
+        "metrics", ["recall@1", "recall@5", "recall@10"])
+        if m.startswith("recall@")}) or [1, 5, 10]
+
+    pipe = NeuralSpectralCodecPipeline(config)
+    if checkpoint_path:
+        pipe.load_checkpoint(checkpoint_path)
+
+    results: Dict = {"sequences": {}, "config": {
+        "k_values": k_values,
+        "distance_threshold": val_cfg.get("recall_distance_threshold", 5.0),
+        "skip_frames": val_cfg.get("skip_frames", 30),
+    }}
+    for i, loader in enumerate(loaders):
+        seq_name = getattr(loader, "sequence", str(i))
+        t0 = time.perf_counter()
+        kfs = pipe._process_sequence(loader, sequence_id=i)
+        t_encode = time.perf_counter() - t0
+        if len(kfs) < 3:
+            logger.warning("Sequence %s: too few keyframes, skipping", seq_name)
+            continue
+        desc = np.stack([kf.descriptor for kf in kfs])
+        poses = np.stack([kf.pose for kf in kfs])
+
+        if pipe.params is not None:
+            graph = build_graph_from_keyframes(
+                kfs, temporal_neighbors=pipe.temporal_neighbors)
+            emb = np.asarray(gnn_forward(
+                pipe.model, pipe.params, pipe.batch_stats, graph))
+        else:
+            emb = desc
+
+        t1 = time.perf_counter()
+        metrics = evaluate_place_recognition(
+            emb, poses, k_values,
+            distance_threshold=results["config"]["distance_threshold"],
+            skip_frames=results["config"]["skip_frames"])
+        metrics["avg_query_time_ms"] = (
+            1e3 * (time.perf_counter() - t1) / max(metrics["n_queries"], 1))
+        metrics["encode_time_s"] = t_encode
+        metrics["n_keyframes"] = len(kfs)
+        results["sequences"][seq_name] = metrics
+        logger.info("Benchmark %s: %s", seq_name, metrics)
+
+    if results["sequences"]:
+        agg = {}
+        for k in k_values:
+            agg[f"recall@{k}"] = float(np.mean(
+                [m[f"recall@{k}"] for m in results["sequences"].values()]))
+        results["mean"] = agg
+
+    if results_path:
+        Path(results_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(results_path, "w") as f:
+            json.dump(results, f, indent=2)
+        logger.info("Benchmark results saved to %s", results_path)
+    return results
