@@ -151,6 +151,7 @@ class NeuralSpectralCodecPipeline:
             icp_max_iterations=r.get("icp_max_iterations", 30),
             voxel_downsample=r.get("voxel_downsample", 0.3),
             verification_max_points=r.get("verification_max_points", 4096),
+            verification_backend=r.get("verification_backend", "auto"),
         )
 
     # ------------------------------------------------------------------

@@ -38,7 +38,8 @@ class TwoStageRetrieval:
                  rmse_threshold: float = 0.5, verification_method: str = "gicp",
                  n_bins: int = 800, capacity: int = 100_000,
                  icp_max_iterations: int = 30, voxel_downsample: float = 0.3,
-                 verification_max_points: int = 4096):
+                 verification_max_points: int = 4096,
+                 verification_backend: str = "auto"):
         self.top_k = top_k
         self.spatial_filter_distance = spatial_filter_distance
         self.context_window = context_window
@@ -50,6 +51,7 @@ class TwoStageRetrieval:
             max_iterations=icp_max_iterations,
             voxel_downsample=voxel_downsample,
             max_points=verification_max_points,
+            backend=verification_backend,
         )
         self.keyframes: List[Keyframe] = []
 

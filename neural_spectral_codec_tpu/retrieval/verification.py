@@ -152,7 +152,7 @@ class GeometricVerifier:
                  rmse_threshold: float = 0.5, max_iterations: int = 30,
                  voxel_downsample: float = 0.3,
                  max_correspondence_distance: float = 1.0,
-                 max_points: int = 4096):
+                 max_points: int = 4096, backend: str = "auto"):
         self.method = method
         self.fitness_threshold = fitness_threshold
         self.rmse_threshold = rmse_threshold
@@ -160,10 +160,50 @@ class GeometricVerifier:
         self.voxel_downsample = voxel_downsample
         self.max_correspondence_distance = max_correspondence_distance
         self.max_points = max_points
+        if backend == "auto":
+            from neural_spectral_codec_tpu import native
+            backend = "native" if native.available() else "jax"
+        if backend not in ("native", "jax"):
+            raise ValueError(f"unknown verifier backend: {backend}")
+        self.backend = backend
 
     def verify(self, source_points: np.ndarray, target_points: np.ndarray,
                initial_transform: Optional[np.ndarray] = None
                ) -> Tuple[bool, Optional[np.ndarray], Dict]:
+        if self.backend == "native":
+            return self._verify_native(source_points, target_points,
+                                       initial_transform)
+        return self._verify_jax(source_points, target_points,
+                                initial_transform)
+
+    def _verify_native(self, source_points, target_points, initial_transform):
+        """Host C++ path (native/nsc_geom.cpp): grid-accelerated
+        correspondences instead of the O(n²) brute force the fixed-shape
+        JAX kernel pays — the idiomatic split for this irregular CPU-side
+        workload (SURVEY §2.2)."""
+        from neural_spectral_codec_tpu import native
+        src = native.voxel_downsample(source_points, self.voxel_downsample)
+        dst = native.voxel_downsample(target_points, self.voxel_downsample)
+        if len(src) < 6 or len(dst) < 6:
+            info = {"fitness": 0.0, "rmse": float("inf"),
+                    "information_matrix": self._information_matrix(0.0)}
+            return False, None, info
+        normals = (native.estimate_normals(
+            dst, k=16, grid_cell=2 * self.voxel_downsample)
+            if self.method == "gicp" else None)
+        T, fitness, rmse = native.icp(
+            src, dst, normals=normals, init=initial_transform,
+            max_iterations=self.max_iterations,
+            max_correspondence=self.max_correspondence_distance)
+        info = {"fitness": fitness, "rmse": rmse,
+                "information_matrix": self._information_matrix(fitness)}
+        verified = (fitness >= self.fitness_threshold
+                    and rmse <= self.rmse_threshold)
+        return (True, T, info) if verified else (False, None, info)
+
+    def _verify_jax(self, source_points: np.ndarray, target_points: np.ndarray,
+                    initial_transform: Optional[np.ndarray] = None
+                    ) -> Tuple[bool, Optional[np.ndarray], Dict]:
         src = voxel_downsample(source_points, self.voxel_downsample)
         dst = voxel_downsample(target_points, self.voxel_downsample)
         src_p, src_m = _pad(src, self.max_points)
