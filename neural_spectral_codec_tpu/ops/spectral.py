@@ -58,6 +58,8 @@ class SpectralEncoderConfig(NamedTuple):
     elevation_range_deg: Tuple[float, float] = (-24.8, 2.0)
     max_range: float = 80.0
     min_range: float = 1.0
+    # None = auto (fused Pallas kernel on TPU, XLA composition elsewhere)
+    use_pallas: Optional[bool] = None
 
     @property
     def n_freqs(self) -> int:
@@ -186,6 +188,13 @@ def encode_points_batch(
     benchmark drives (north star ≥10k scans/s/chip).
     """
     imgs = project_points_batch(points, config.projection)
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from neural_spectral_codec_tpu.ops.pallas_spectral import (
+            encode_range_image_batch_pallas)
+        return encode_range_image_batch_pallas(imgs, alpha, config)
     if config.interpolate_empty:
         imgs = jax.vmap(interpolate_range_image)(imgs)
     return encode_range_image_batch(imgs, alpha, config)

@@ -160,3 +160,48 @@ def test_batch_encode_matches_single(rng):
             encode_points_batch(jnp.asarray(scans[i][None]), jnp.float32(2.0), CFG)
         )[0]
         np.testing.assert_allclose(batch[i], single, rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_kernel_parity_interpret(rng):
+    """Fused Pallas kernel (interpret mode on CPU) matches the XLA
+    composition bit-for-bit-ish, including interpolation, empty rows,
+    and the empty-scan uniform fallback."""
+    import jax
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.pallas_spectral import (
+        encode_range_image_batch_pallas)
+    from neural_spectral_codec_tpu.ops.range_image import interpolate_range_image
+    from neural_spectral_codec_tpu.ops.spectral import (
+        SpectralEncoderConfig, encode_range_image_batch)
+
+    cfg = SpectralEncoderConfig()
+    imgs = rng.uniform(0, 80, (5, 64, 360)).astype(np.float32)
+    imgs[imgs < 15] = 0.0          # empty pixels
+    imgs[1, 10:14] = 0.0           # empty rows
+    imgs[3] = 0.0                  # fully empty scan
+    interp = jax.vmap(interpolate_range_image)(jnp.asarray(imgs))
+    ref = np.asarray(encode_range_image_batch(interp, jnp.float32(2.0), cfg))
+    got = np.asarray(encode_range_image_batch_pallas(
+        jnp.asarray(imgs), jnp.float32(2.0), cfg, True))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    assert np.allclose(got[3], 1.0 / 800)
+
+
+def test_pallas_kernel_parity_small_config(rng):
+    import jax
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.pallas_spectral import (
+        encode_range_image_batch_pallas)
+    from neural_spectral_codec_tpu.ops.range_image import interpolate_range_image
+    from neural_spectral_codec_tpu.ops.spectral import (
+        SpectralEncoderConfig, encode_range_image_batch)
+
+    cfg = SpectralEncoderConfig(n_elevation=16, n_azimuth=90, n_bins=20,
+                                target_elevation_bins=8)
+    imgs = rng.uniform(0, 80, (3, 16, 90)).astype(np.float32)  # pads to 8
+    imgs[imgs < 20] = 0.0
+    interp = jax.vmap(interpolate_range_image)(jnp.asarray(imgs))
+    ref = np.asarray(encode_range_image_batch(interp, jnp.float32(2.0), cfg))
+    got = np.asarray(encode_range_image_batch_pallas(
+        jnp.asarray(imgs), jnp.float32(2.0), cfg, True))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
