@@ -233,6 +233,72 @@ def interpolate_range_image(img: jnp.ndarray) -> jnp.ndarray:
     return _fill_empty_rows(out, row_has_valid[:, 0])
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def project_points_with_intensity(
+    points: jnp.ndarray, config: ProjectionConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Projection that also returns the intensity image — intensity of the
+    pixel's closest point (reference range_image.py:217-230; the reference
+    tie-breaks equal-range points by max intensity, here ties within one
+    1.2 mm quantization step pick that element's intensity — documented
+    divergence, range values identical).
+
+    Kept separate from :func:`project_points` so the descriptor hot path
+    (which never reads intensity) doesn't pay for the third sort operand.
+    """
+    rng, azimuth, elevation, finite = _spherical(points)
+    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    intens = points[..., 3] if points.shape[-1] > 3 else jnp.zeros_like(rng)
+    intens = jnp.where(valid & jnp.isfinite(intens), intens, 0.0)
+
+    elev_span = config.elevation_max - config.elevation_min
+    elev_bins = jnp.clip(
+        jnp.floor((elevation - config.elevation_min) / elev_span
+                  * config.n_elevation).astype(jnp.int32),
+        0, config.n_elevation - 1)
+    azim_bins = jnp.clip(
+        jnp.floor(azimuth / (2.0 * jnp.pi) * config.n_azimuth).astype(jnp.int32),
+        0, config.n_azimuth - 1)
+
+    n_pix = config.n_elevation * config.n_azimuth
+    linear_idx = jnp.where(valid, elev_bins * config.n_azimuth + azim_bins,
+                           n_pix).astype(jnp.int32)
+    vals = jnp.where(valid, rng, jnp.inf).astype(jnp.float32)
+
+    n_points = linear_idx.shape[0]
+    quant = jnp.maximum(jnp.minimum(
+        (vals * (65535.0 / config.max_range)).astype(jnp.int32), 65535), 0)
+    packed = (linear_idx << 16) | quant
+    sorted_key, sorted_rng, sorted_int = jax.lax.sort(
+        (packed, vals, intens.astype(jnp.float32)), num_keys=1)
+
+    pos = jnp.arange(n_points, dtype=jnp.int32)
+    run_min, run_int = sorted_rng, sorted_int
+    shift = 1
+    while shift < n_points:
+        cand = jnp.roll(run_min, -shift)
+        cand_i = jnp.roll(run_int, -shift)
+        same = (jnp.roll(sorted_key, -shift) == sorted_key) & \
+               (pos < n_points - shift)
+        take = same & (cand < run_min)
+        run_int = jnp.where(take, cand_i, run_int)
+        run_min = jnp.where(take, cand, run_min)
+        shift *= 2
+
+    sorted_idx = jax.lax.shift_right_logical(sorted_key, 16)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_idx[1:] != sorted_idx[:-1]])
+    target = jnp.where(is_start, sorted_idx, 1 << 29)
+    rbuf = jnp.zeros((n_pix,), jnp.float32).at[target].set(
+        run_min, mode="drop", unique_indices=True)
+    ibuf = jnp.zeros((n_pix,), jnp.float32).at[target].set(
+        run_int, mode="drop", unique_indices=True)
+    img = jnp.where(jnp.isinf(rbuf), 0.0, rbuf)
+    iimg = jnp.where(jnp.isinf(rbuf), 0.0, ibuf)
+    return (img.reshape(config.n_elevation, config.n_azimuth),
+            iimg.reshape(config.n_elevation, config.n_azimuth))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def unproject_range_image(
     img: jnp.ndarray,

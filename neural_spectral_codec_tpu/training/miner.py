@@ -133,3 +133,66 @@ def create_triplet_miner(positive_distance_max: float = 5.0,
     return TripletMiner(positive_distance_max, positive_temporal_min,
                         negative_distance_min, negative_distance_max,
                         negative_temporal_min, mining_strategy, seed)
+
+
+class BatchTripletMiner:
+    """In-batch online miner (reference triplet_miner.py:362-509 — unused
+    by the reference's own training loop but part of its API surface).
+
+    The reference's per-anchor Python loop becomes masked batched
+    argmax/argmin: hard positive = farthest same-label, hard negative =
+    closest different-label (semi-hard: closest negative inside the
+    (d_pos, d_pos+margin) band, falling back to hardest).
+    """
+
+    def __init__(self, margin: float = 0.1, mining_strategy: str = "hard",
+                 seed: int = 0):
+        self.margin = margin
+        self.mining_strategy = mining_strategy
+        self._rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _pairwise_distances(embeddings: np.ndarray) -> np.ndarray:
+        dot = embeddings @ embeddings.T
+        sq = np.diag(dot)[None, :]
+        d2 = np.clip(sq + sq.T - 2.0 * dot, 0.0, None)
+        return np.sqrt(d2)
+
+    def mine_batch_triplets(self, embeddings: np.ndarray, labels: np.ndarray):
+        """Returns (anchors, positives, negatives) embedding arrays of
+        shape (n_valid, D) — anchors without a valid positive AND negative
+        are dropped, like the reference."""
+        embeddings = np.asarray(embeddings)
+        labels = np.asarray(labels)
+        n = len(embeddings)
+        d = self._pairwise_distances(embeddings)
+        same = labels[None, :] == labels[:, None]
+        pos_mask = same & ~np.eye(n, dtype=bool)
+        neg_mask = ~same
+        has_pos = pos_mask.any(axis=1)
+        has_neg = neg_mask.any(axis=1)
+        valid = has_pos & has_neg
+
+        if self.mining_strategy == "hard":
+            pos_idx = np.where(pos_mask, d, -1.0).argmax(axis=1)
+            neg_idx = np.where(neg_mask, d, np.inf).argmin(axis=1)
+        elif self.mining_strategy == "semi-hard":
+            pos_idx = np.where(pos_mask, d, -1.0).argmax(axis=1)
+            d_pos = d[np.arange(n), pos_idx]
+            nd = np.where(neg_mask, d, np.inf)
+            band = (nd > d_pos[:, None]) & (nd < (d_pos + self.margin)[:, None])
+            banded = np.where(band, nd, np.inf)
+            has_band = np.isfinite(banded).any(axis=1)
+            neg_idx = np.where(has_band, banded.argmin(axis=1),
+                               nd.argmin(axis=1))
+        else:  # random
+            pos_idx = np.array([
+                self._rng.choice(np.nonzero(pos_mask[i])[0])
+                if has_pos[i] else 0 for i in range(n)])
+            neg_idx = np.array([
+                self._rng.choice(np.nonzero(neg_mask[i])[0])
+                if has_neg[i] else 0 for i in range(n)])
+
+        sel = np.nonzero(valid)[0]
+        return (embeddings[sel], embeddings[pos_idx[sel]],
+                embeddings[neg_idx[sel]])

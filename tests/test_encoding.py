@@ -205,3 +205,37 @@ def test_pallas_kernel_parity_small_config(rng):
     got = np.asarray(encode_range_image_batch_pallas(
         jnp.asarray(imgs), jnp.float32(2.0), cfg, True))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_project_with_intensity(rng):
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        ProjectionConfig, project_points, project_points_with_intensity)
+    cfg = ProjectionConfig(n_elevation=16, n_azimuth=90)
+    pts = np.asarray(rng.uniform(-40, 40, (5000, 4)), np.float32)
+    pts[:, 3] = rng.uniform(0, 1, 5000)
+    img, iimg = [np.asarray(a) for a in
+                 project_points_with_intensity(jnp.asarray(pts), cfg)]
+    ref = np.asarray(project_points(jnp.asarray(pts), cfg))
+    np.testing.assert_array_equal(img, ref)  # ranges identical
+    # intensity present exactly where range present, and each intensity
+    # value belongs to some point in that pixel
+    assert ((iimg > 0) <= (img > 0)).all()
+    # for a few pixels, intensity equals intensity of the closest point
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    r = np.sqrt(x * x + y * y + z * z)
+    az = np.mod(np.arctan2(y, x) + np.pi, 2 * np.pi)
+    el = np.arctan2(z, np.sqrt(x * x + y * y))
+    ok = (r >= cfg.min_range) & (r <= cfg.max_range)
+    eb = np.clip(((el - cfg.elevation_min) / (cfg.elevation_max - cfg.elevation_min)
+                  * 16).astype(int), 0, 15)
+    ab = np.clip((az / (2 * np.pi) * 90).astype(int), 0, 89)
+    checked = 0
+    for e, a in [(4, 10), (8, 45), (12, 80), (2, 3)]:
+        sel = ok & (eb == e) & (ab == a)
+        if not sel.any():
+            continue
+        j = np.nonzero(sel)[0][np.argmin(r[sel])]
+        assert abs(iimg[e, a] - pts[j, 3]) < 1e-6
+        checked += 1
+    assert checked > 0

@@ -201,3 +201,36 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(e1, e2, atol=1e-6)
     with pytest.raises(FileNotFoundError):
         tr2.load_checkpoint("nope")
+
+
+def test_batch_triplet_miner_hard():
+    from neural_spectral_codec_tpu.training.miner import BatchTripletMiner
+    emb = np.array([[0.0, 0], [0.1, 0], [5, 5], [5.1, 5], [9, 9]], np.float32)
+    labels = np.array([0, 0, 1, 1, 2])
+    m = BatchTripletMiner(mining_strategy="hard")
+    a, p, n = m.mine_batch_triplets(emb, labels)
+    # anchor 4 (label 2) has no positive -> dropped
+    assert len(a) == 4
+    # anchor 0: hard positive is its same-label farthest = emb[1];
+    # hard negative is closest different label = emb[2]
+    np.testing.assert_allclose(p[0], emb[1])
+    np.testing.assert_allclose(n[0], emb[2])
+
+
+def test_batch_triplet_miner_semi_hard_and_random():
+    from neural_spectral_codec_tpu.training.miner import BatchTripletMiner
+    rng = np.random.default_rng(0)
+    emb = rng.random((20, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, 20)
+    for strat in ("semi-hard", "random"):
+        m = BatchTripletMiner(mining_strategy=strat)
+        a, p, n = m.mine_batch_triplets(emb, labels)
+        assert a.shape == p.shape == n.shape
+        assert len(a) > 0
+
+
+def test_batch_triplet_miner_no_valid():
+    from neural_spectral_codec_tpu.training.miner import BatchTripletMiner
+    emb = np.ones((3, 4), np.float32)
+    a, p, n = BatchTripletMiner().mine_batch_triplets(emb, np.zeros(3))
+    assert len(a) == 0  # all same label -> no negatives
