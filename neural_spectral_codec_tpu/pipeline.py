@@ -166,14 +166,25 @@ class NeuralSpectralCodecPipeline:
         hoisted into device batches)."""
         sel = selector or self.selector
         new_kfs: List[Keyframe] = []
+        n_skipped = 0
         with self.profiler.profile(f"select_seq{sequence_id}"):
             for scan_id in range(len(loader)):
-                frame = loader[scan_id]
-                selected, kf, _ = sel.process_scan(
-                    scan_id, frame["points"], frame["pose"],
-                    frame["timestamp"], sequence_id=sequence_id)
+                try:
+                    frame = loader[scan_id]
+                    selected, kf, _ = sel.process_scan(
+                        scan_id, frame["points"], frame["pose"],
+                        frame["timestamp"], sequence_id=sequence_id)
+                except Exception as e:
+                    # corrupt scans are logged and skipped, like the
+                    # reference (train_multi_dataset.py:163-190)
+                    n_skipped += 1
+                    logger.warning("Skipping scan %d: %s", scan_id, e)
+                    continue
                 if selected:
                     new_kfs.append(kf)
+        if n_skipped:
+            logger.warning("Sequence %d: skipped %d corrupt scans",
+                           sequence_id, n_skipped)
         with self.profiler.profile(f"encode_seq{sequence_id}"):
             if new_kfs:
                 desc = self.encoder.encode([kf.points for kf in new_kfs])
@@ -184,7 +195,8 @@ class NeuralSpectralCodecPipeline:
         return new_kfs
 
     def train_offline(self, train_loaders: Sequence, val_loaders: Sequence = (),
-                      n_epochs: Optional[int] = None) -> GNNTrainer:
+                      n_epochs: Optional[int] = None,
+                      resume: Optional[str] = None) -> GNNTrainer:
         """Load → select → encode → graph → train (reference pipeline.py:97-198)."""
         tr = self.config.get("training", {})
         trip = self.config.get("triplet", {})
@@ -232,6 +244,8 @@ class NeuralSpectralCodecPipeline:
             positive_temporal_min=trip.get("positive_temporal_min", 30),
             mining_strategy=trip.get("mining_strategy", "hard"),
         )
+        if resume:
+            trainer.load_checkpoint(resume)
         poses = np.array([kf.pose for kf in train_kfs])
         seq_ids = np.array([kf.sequence_id for kf in train_kfs])
         val_poses = (np.array([kf.pose for kf in val_kfs])

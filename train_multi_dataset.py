@@ -46,6 +46,10 @@ def main(argv=None):
                         help="Override system.checkpoint_dir")
     parser.add_argument("--epochs", type=int, default=None,
                         help="Override training.n_epochs")
+    parser.add_argument("--resume", default=None, metavar="NAME",
+                        help="Resume from a checkpoint in the checkpoint "
+                             "dir (e.g. 'best_model') — the reference had "
+                             "a resume config block no entry point honored")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="Use N synthetic frames instead of datasets "
                              "(smoke testing without KITTI/NCLT on disk)")
@@ -76,7 +80,8 @@ def main(argv=None):
         parser.error("no training datasets in config (data.datasets.train)")
 
     trainer = pipeline.train_offline(train_loaders, val_loaders,
-                                     n_epochs=args.epochs)
+                                     n_epochs=args.epochs,
+                                     resume=args.resume)
     logger.info("Best validation Recall@1: %.4f", trainer.best_val_metric)
     stats = pipeline.selector.get_statistics()
     logger.info("Keyframe stats: %s", stats)
