@@ -29,6 +29,29 @@ from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
+def _query_batch_kernel(db_cdf, db_pos, size, query_hists, query_pos_and_filters,
+                        top_k):
+    """Batched fused query: (Q, n_bins) queries against the whole database
+    in ONE dispatch. The database is streamed from HBM once for all Q
+    queries instead of once per query — at 100k × 800 the database read
+    dominates, so batching amortizes it to ~Q× cheaper per query."""
+    n = db_cdf.shape[0]
+    q_cdf = jnp.cumsum(
+        query_hists / jnp.maximum(
+            query_hists.sum(axis=1, keepdims=True), 1e-12), axis=1)
+    dists = jnp.sum(jnp.abs(db_cdf[None, :, :] - q_cdf[:, None, :]), axis=2)
+    idx = jnp.arange(n)
+    invalid = (idx >= size)[None, :]
+    qp = query_pos_and_filters[:, :3]
+    min_d = query_pos_and_filters[:, 3:4]
+    spatial = jnp.linalg.norm(
+        db_pos[None, :, :] - qp[:, None, :], axis=2) < min_d
+    masked = jnp.where(invalid | ((min_d > 0) & spatial), jnp.inf, dists)
+    neg_top, top_idx = jax.lax.top_k(-masked, top_k)
+    return top_idx, -neg_top
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
 def _query_kernel(db_cdf, db_pos, size, query_hist, query_pos_and_filter, top_k):
     """Fused normalize + CDF + distance + masking + top-k, one dispatch.
     ``query_pos_and_filter`` is a (4,) vector [x, y, z,
@@ -101,6 +124,29 @@ class WassersteinRetriever:
         idx, dist = np.asarray(idx), np.asarray(dist)
         keep = np.isfinite(dist)
         return idx[keep], dist[keep]
+
+    def query_batch(self, query_hists: np.ndarray, top_k: int = 10,
+                    query_positions: Optional[np.ndarray] = None,
+                    spatial_min_distance: float = 0.0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched top-k for (Q, n_bins) queries in one dispatch. Returns
+        (Q, k) indices and distances; excluded/invalid entries carry inf
+        distance. ~Q× cheaper per query than :meth:`query` because the
+        database is streamed from HBM once."""
+        if self.database_size == 0:
+            qn = len(np.atleast_2d(query_hists))
+            return (np.zeros((qn, 0), np.int64), np.zeros((qn, 0)))
+        k = int(min(top_k, self.database_size))
+        q = jnp.asarray(np.atleast_2d(np.asarray(query_hists, np.float32)))
+        qn = q.shape[0]
+        qp = np.zeros((qn, 4), np.float32)
+        if query_positions is not None and spatial_min_distance > 0:
+            qp[:, :3] = np.atleast_2d(query_positions)
+            qp[:, 3] = spatial_min_distance
+        idx, dist = _query_batch_kernel(
+            self._db_cdf, self._db_pos, jnp.int32(self.database_size), q,
+            jnp.asarray(qp), k)
+        return np.asarray(idx), np.asarray(dist)
 
     def clear_database(self) -> None:
         self.database_size = 0

@@ -149,20 +149,50 @@ def batch_loop_closing(query_keyframes: List[Keyframe],
                        top_k: int = 10,
                        spatial_filter_distance: float = 50.0,
                        verify: bool = True) -> Dict[int, List[Dict]]:
-    """Offline batch loop closing (reference :322-359)."""
+    """Offline batch loop closing (reference :322-359).
+
+    Stage 1 runs as ONE batched device dispatch over all queries (the
+    database is streamed from HBM once, ~Q× cheaper than per-query
+    dispatches); stage 2 verifies candidates per query on the host."""
     n_bins = database_keyframes[0].descriptor.shape[-1]
     retrieval = create_two_stage_retrieval(
         top_k=top_k, spatial_filter_distance=spatial_filter_distance,
         n_bins=n_bins, capacity=max(len(database_keyframes), 1))
     for kf in database_keyframes:
         retrieval.add_keyframe(kf)
-    results = {}
+
+    q_hists = np.stack([q.descriptor for q in query_keyframes])
+    q_pos = np.stack([
+        q.pose[:3, 3] if q.pose is not None else np.zeros(3)
+        for q in query_keyframes])
+    idx, dist = retrieval.retriever.query_batch(
+        q_hists, top_k=top_k, query_positions=q_pos,
+        spatial_min_distance=spatial_filter_distance)
+
+    results: Dict[int, List[Dict]] = {}
     for i, q in enumerate(query_keyframes):
-        if verify:
-            results[i] = retrieval.get_loop_closures(q)
-        else:
+        cands = [LoopClosureCandidate(int(j), float(d))
+                 for j, d in zip(idx[i], dist[i]) if np.isfinite(d)]
+        if not verify:
             results[i] = [
-                {"database_idx": c.database_idx, "wasserstein_distance": c.distance}
-                for c in retrieval.query(q, verify=False)
-            ]
+                {"database_idx": c.database_idx,
+                 "wasserstein_distance": c.distance} for c in cands]
+            continue
+        cands = retrieval._geometric_verification(q.points, cands)
+        edges = []
+        for cand in cands:
+            if not cand.verified:
+                continue
+            kf = retrieval.keyframes[cand.database_idx]
+            edge = compute_pose_graph_edge(
+                source_pose=q.pose, target_pose=kf.pose,
+                relative_transform=cand.transform,
+                information_matrix=cand.information_matrix)
+            edge.update({
+                "source_id": q.keyframe_id, "target_id": kf.keyframe_id,
+                "fitness": cand.fitness, "rmse": cand.rmse,
+                "wasserstein_distance": cand.distance,
+            })
+            edges.append(edge)
+        results[i] = edges
     return results

@@ -175,3 +175,31 @@ def test_g2o_export(tmp_path, rng):
     np.testing.assert_allclose([float(v) for v in line[6:10]], [0, 0, 0, 1])
     # 21 upper-triangular info entries
     assert len(line) == 10 + 21
+
+
+def test_query_batch_matches_single(rng):
+    from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+    n, bins = 300, 50
+    h = rng.random((n, bins), dtype=np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    pos = rng.random((n, 3)).astype(np.float32) * 500
+    r = WassersteinRetriever(n_bins=bins, capacity=n)
+    r.add_to_database(h, pos)
+    queries = h[[3, 50, 123]]
+    qpos = pos[[3, 50, 123]]
+    bidx, bdist = r.query_batch(queries, top_k=5, query_positions=qpos,
+                                spatial_min_distance=30.0)
+    for row, qi in enumerate([3, 50, 123]):
+        sidx, sdist = r.query(h[qi], top_k=5, query_position=pos[qi],
+                              spatial_min_distance=30.0)
+        keep = np.isfinite(bdist[row])
+        np.testing.assert_allclose(np.sort(bdist[row][keep]),
+                                   np.sort(sdist), rtol=1e-5, atol=1e-7)
+        assert set(bidx[row][keep].tolist()) == set(sidx.tolist())
+
+
+def test_query_batch_empty_database():
+    from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+    r = WassersteinRetriever(n_bins=10, capacity=10)
+    idx, dist = r.query_batch(np.ones((2, 10), np.float32), top_k=3)
+    assert idx.shape == (2, 0)
