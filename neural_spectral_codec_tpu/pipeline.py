@@ -290,9 +290,20 @@ class NeuralSpectralCodecPipeline:
 
     def run_online(self, loader, checkpoint_path: Optional[str] = None,
                    loop_closure_interval: int = 10,
-                   output_g2o: Optional[str] = None) -> List[Dict]:
-        """Streaming loop closing (reference pipeline.py:200-282)."""
+                   output_g2o: Optional[str] = None,
+                   database_path: Optional[str] = None) -> List[Dict]:
+        """Streaming loop closing (reference pipeline.py:200-282).
+
+        Honors the config's ``monitoring`` block (per-stage timing log
+        every N scans + max-latency warnings — the reference configured
+        this and never implemented it) and optionally persists the
+        descriptor database to ``database_path`` at the end."""
         import jax
+        mon = self.config.get("monitoring", {})
+        mon_enabled = mon.get("enabled", False)
+        mon_interval = mon.get("log_interval", 100)
+        max_latency_ms = cfg_get(self.config, "deployment.max_latency_ms",
+                                 None)
         if checkpoint_path:
             self.load_checkpoint(checkpoint_path)
         if self.params is None:
@@ -332,15 +343,34 @@ class NeuralSpectralCodecPipeline:
                     t0 = time.perf_counter()
                     edges = self.retrieval.get_loop_closures(kf, kf.points)
                     n_queries += 1
+                    query_ms = 1e3 * (time.perf_counter() - t0)
+                    if max_latency_ms and query_ms > max_latency_ms:
+                        logger.warning(
+                            "scan %d: loop-closing latency %.1f ms exceeds "
+                            "budget %.0f ms", scan_id, query_ms,
+                            max_latency_ms)
                     if edges:
                         for e in edges:
                             self.graph_manager.add_loop_closure_edge(
                                 kf.keyframe_id, e["target_id"])
                         all_loop_closures.extend(edges)
-                        logger.info(
-                            "scan %d: %d loop closures (%.1f ms)", scan_id,
-                            len(edges), 1e3 * (time.perf_counter() - t0))
+                        logger.info("scan %d: %d loop closures (%.1f ms)",
+                                    scan_id, len(edges), query_ms)
 
+            if mon_enabled and (scan_id + 1) % mon_interval == 0:
+                tot = self.profiler.totals
+                cnt = self.profiler.counts
+                logger.info(
+                    "monitor @%d | %s | db=%d", scan_id + 1,
+                    " | ".join(
+                        f"{k} {1e3 * tot[k] / max(cnt[k], 1):.2f} ms/call"
+                        for k in ("select", "encode", "graph_update",
+                                  "loop_closing") if k in tot),
+                    self.retrieval.retriever.database_size)
+
+        if database_path:
+            n = self.retrieval.save_database(database_path)
+            logger.info("Saved %d descriptor records to %s", n, database_path)
         if output_g2o and all_loop_closures:
             save_loop_closures_g2o(all_loop_closures, output_g2o)
             logger.info("Saved %d loop-closure edges to %s",
@@ -385,7 +415,8 @@ def run_pipeline(config_path: str, mode: str = "train") -> None:
                 loader, checkpoint_path=ckpt,
                 loop_closure_interval=cfg_get(
                     config, "deployment.loop_closing_interval", 10),
-                output_g2o=out)
+                output_g2o=out,
+                database_path=cfg_get(config, "database.storage_path"))
     else:
         raise ValueError(f"Unknown mode: {mode}")
 

@@ -134,6 +134,50 @@ class TwoStageRetrieval:
         self.keyframes.clear()
         self.retriever.clear_database()
 
+    # ------------------------------------------------------------------
+    # persistence: the fixed-size binary record store the reference's
+    # inference.yaml:27-31 describes but never implements
+    # ------------------------------------------------------------------
+
+    def save_database(self, path: str) -> int:
+        """Serialize all keyframes as fixed-size quantized records
+        (ops/quantization.py codec; 220 B/keyframe at the reference's
+        50-bin config, descriptor-dim-scaled otherwise). Returns the
+        record count."""
+        from neural_spectral_codec_tpu.ops.quantization import (
+            DescriptorDatabaseFile, compress_descriptor)
+        import os
+        if os.path.exists(path):
+            os.remove(path)
+        db = DescriptorDatabaseFile(path, n_bins=self.retriever.n_bins)
+        for kf in self.keyframes:
+            pts = kf.points if kf.points is not None \
+                else np.zeros((0, 3), np.float32)
+            db.append(compress_descriptor(
+                kf.descriptor,
+                kf.pose if kf.pose is not None else np.eye(4),
+                kf.timestamp, kf.keyframe_id, points=pts))
+        return len(self.keyframes)
+
+    def load_database(self, path: str) -> int:
+        """Rebuild the retrieval database from a record store. Loaded
+        keyframes carry dequantized descriptors, poses, timestamps and
+        ids but NO raw points (the store keeps only the cloud hash, like
+        the reference's lazy_loading design) — stage-1 retrieval works
+        immediately; geometric verification needs points reattached."""
+        from neural_spectral_codec_tpu.ops.quantization import (
+            DescriptorDatabaseFile, decompress_descriptor)
+        db = DescriptorDatabaseFile(path, n_bins=self.retriever.n_bins)
+        records = db.read_all()
+        self.clear_database()
+        for rec in records:
+            hist, pose, ts, kf_id = decompress_descriptor(rec)
+            kf = Keyframe(keyframe_id=kf_id, scan_id=kf_id, points=None,
+                          pose=pose, timestamp=ts,
+                          descriptor=hist.astype(np.float32))
+            self.add_keyframe(kf)
+        return len(records)
+
 
 def create_two_stage_retrieval(top_k: int = 10,
                                spatial_filter_distance: float = 50.0,

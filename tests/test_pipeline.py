@@ -110,3 +110,30 @@ def test_train_multi_dataset_cli(tmp_path, monkeypatch):
     ])
     assert trainer.epoch == 0
     assert (tmp_path / "cli_ckpt" / "final_model").exists()
+
+
+def test_online_monitoring_and_database_persistence(tmp_path, caplog):
+    import logging
+    cfg = small_config(tmp_path, retrieval={
+        "spatial_filter_distance": 0.0, "top_k": 2,
+        "icp_max_iterations": 5, "verification_max_points": 512})
+    cfg["monitoring"] = {"enabled": True, "log_interval": 20}
+    cfg["deployment"] = {"max_latency_ms": 0.001}  # force budget warnings
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    loader = SyntheticLoader(n_frames=40, seed=0, n_points=4096, loops=2.0)
+    db_path = tmp_path / "descriptors.bin"
+    with caplog.at_level(logging.INFO,
+                         logger="neural_spectral_codec_tpu.pipeline"):
+        pipe.run_online(loader, loop_closure_interval=10,
+                        database_path=str(db_path))
+    text = caplog.text
+    assert "monitor @" in text          # monitoring block fired
+    assert "exceeds" in text            # latency budget warning fired
+    assert db_path.exists()
+
+    # reload the persisted database into a fresh retrieval system
+    from neural_spectral_codec_tpu.retrieval.two_stage import TwoStageRetrieval
+    r2 = TwoStageRetrieval(n_bins=pipe.encoder_config.output_dim,
+                           capacity=100)
+    n = r2.load_database(str(db_path))
+    assert n == len(pipe.selector.keyframes) and n > 0

@@ -203,3 +203,36 @@ def test_query_batch_empty_database():
     r = WassersteinRetriever(n_bins=10, capacity=10)
     idx, dist = r.query_batch(np.ones((2, 10), np.float32), top_k=3)
     assert idx.shape == (2, 0)
+
+
+def test_database_save_load_roundtrip(tmp_path, rng):
+    from neural_spectral_codec_tpu.keyframe.selector import Keyframe
+    from neural_spectral_codec_tpu.retrieval.two_stage import TwoStageRetrieval
+    n_bins = 40
+    r = TwoStageRetrieval(n_bins=n_bins, capacity=50,
+                          spatial_filter_distance=0.0)
+    for i in range(12):
+        h = rng.random(n_bins).astype(np.float32)
+        h /= h.sum()
+        pose = np.eye(4)
+        pose[:3, 3] = rng.random(3) * 100
+        r.add_keyframe(Keyframe(
+            keyframe_id=i, scan_id=i,
+            points=rng.random((100, 4)).astype(np.float32),
+            pose=pose, timestamp=float(i), descriptor=h))
+    path = tmp_path / "db.bin"
+    assert r.save_database(str(path)) == 12
+
+    r2 = TwoStageRetrieval(n_bins=n_bins, capacity=50,
+                           spatial_filter_distance=0.0)
+    assert r2.load_database(str(path)) == 12
+    # retrieval behavior preserved up to uint16 quantization
+    q = r.keyframes[5].descriptor
+    i1, d1 = r.retriever.query(q, top_k=3)
+    i2, d2 = r2.retriever.query(q, top_k=3)
+    assert i2[0] == i1[0] == 5
+    np.testing.assert_allclose(d1, d2, atol=2e-3)
+    # metadata preserved
+    kf = r2.keyframes[7]
+    assert kf.keyframe_id == 7 and kf.timestamp == 7.0
+    np.testing.assert_allclose(kf.pose, r.keyframes[7].pose, atol=1e-5)
