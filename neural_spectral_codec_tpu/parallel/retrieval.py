@@ -29,22 +29,29 @@ def _make_query_fn(mesh: Mesh, top_k: int):
     repl = P()
 
     def local_query(db_cdf, db_pos, size, query_cdf, qp):
-        # db_cdf: (rows_per_shard, n_bins) local slab
+        # db_cdf: (rows_per_shard, n_bins) local slab; queries (Q, n_bins)
         shard = jax.lax.axis_index("data")
         n_local = db_cdf.shape[0]
         base = shard * n_local
-        dists = jnp.sum(jnp.abs(db_cdf - query_cdf[None, :]), axis=1)
+        dists = jnp.sum(
+            jnp.abs(db_cdf[None, :, :] - query_cdf[:, None, :]), axis=2)
         gidx = base + jnp.arange(n_local)
-        invalid = gidx >= size
-        spatial = jnp.linalg.norm(db_pos - qp[None, :3], axis=1) < qp[3]
-        masked = jnp.where(invalid | ((qp[3] > 0) & spatial), jnp.inf, dists)
+        invalid = (gidx >= size)[None, :]
+        spatial = jnp.linalg.norm(
+            db_pos[None, :, :] - qp[:, None, :3], axis=2) < qp[:, 3:4]
+        masked = jnp.where(
+            invalid | ((qp[:, 3:4] > 0) & spatial), jnp.inf, dists)
         k = min(top_k, n_local)
-        neg_local, idx_local = jax.lax.top_k(-masked, k)
-        # one small all-gather over ICI: (n_dev, k) each
-        all_neg = jax.lax.all_gather(neg_local, "data").reshape(-1)
-        all_idx = jax.lax.all_gather(gidx[idx_local], "data").reshape(-1)
+        neg_local, idx_local = jax.lax.top_k(-masked, k)      # (Q, k)
+        # one small all-gather over ICI: (n_dev, Q, k) each
+        all_neg = jax.lax.all_gather(neg_local, "data")
+        all_idx = jax.lax.all_gather(
+            jnp.take(gidx, idx_local, axis=0), "data")
+        q = all_neg.shape[1]
+        all_neg = all_neg.transpose(1, 0, 2).reshape(q, -1)
+        all_idx = all_idx.transpose(1, 0, 2).reshape(q, -1)
         neg_top, pos = jax.lax.top_k(all_neg, top_k)
-        return all_idx[pos], -neg_top
+        return jnp.take_along_axis(all_idx, pos, axis=1), -neg_top
 
     fn = jax.shard_map(
         local_query, mesh=mesh,
@@ -95,21 +102,38 @@ class ShardedWassersteinRetriever:
               ) -> Tuple[np.ndarray, np.ndarray]:
         if self.database_size == 0:
             return np.array([], np.int64), np.array([])
+        idx, dist = self.query_batch(
+            np.atleast_2d(np.asarray(query_hist)), top_k=top_k,
+            query_positions=(None if query_position is None
+                             else np.atleast_2d(query_position)),
+            spatial_min_distance=spatial_min_distance)
+        keep = np.isfinite(dist[0])
+        return idx[0][keep], dist[0][keep]
+
+    def query_batch(self, query_hists: np.ndarray, top_k: int = 10,
+                    query_positions: Optional[np.ndarray] = None,
+                    spatial_min_distance: float = 0.0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(Q, n_bins) queries in one sharded dispatch: local W₁ + local
+        top-k per shard slab, one (n_dev, Q, k) all-gather over ICI,
+        global top-k. Excluded entries carry inf distance."""
+        if self.database_size == 0:
+            qn = len(np.atleast_2d(query_hists))
+            return np.zeros((qn, 0), np.int64), np.zeros((qn, 0))
         k = int(min(top_k, self.database_size))
         if k not in self._query_fns:
             self._query_fns[k] = _make_query_fn(self.mesh, k)
-        q_cdf = histogram_cdf(jnp.asarray(query_hist, jnp.float32),
-                              self.epsilon)
-        qp = np.zeros(4, np.float32)
-        if query_position is not None and spatial_min_distance > 0:
-            qp[:3] = np.asarray(query_position)
-            qp[3] = spatial_min_distance
+        q = jnp.asarray(np.atleast_2d(np.asarray(query_hists, np.float32)))
+        q_cdf = histogram_cdf(q, self.epsilon)
+        qn = q.shape[0]
+        qp = np.zeros((qn, 4), np.float32)
+        if query_positions is not None and spatial_min_distance > 0:
+            qp[:, :3] = np.atleast_2d(query_positions)
+            qp[:, 3] = spatial_min_distance
         idx, dist = self._query_fns[k](
             self._db_cdf, self._db_pos, jnp.int32(self.database_size),
             q_cdf, jnp.asarray(qp))
-        idx, dist = np.asarray(idx), np.asarray(dist)
-        keep = np.isfinite(dist)
-        return idx[keep], dist[keep]
+        return np.asarray(idx), np.asarray(dist)
 
     def clear_database(self) -> None:
         self.database_size = 0

@@ -225,6 +225,12 @@ class NeuralSpectralCodecPipeline:
                 val_kfs, temporal_neighbors=self.temporal_neighbors)
                 if val_kfs else None)
 
+        import jax
+        mesh = None
+        if (cfg_get(self.config, "parallel.data_parallel", True)
+                and jax.device_count() > 1):
+            from neural_spectral_codec_tpu.parallel import create_mesh
+            mesh = create_mesh(cfg_get(self.config, "system.mesh_devices"))
         trainer = GNNTrainer(
             model=self.model,
             learning_rate=tr.get("learning_rate", 5e-4),
@@ -236,6 +242,9 @@ class NeuralSpectralCodecPipeline:
             patience=tr.get("patience", 10),
             triplets_per_step=tr.get("triplets_per_step", 4096),
             seed=cfg_get(self.config, "system.seed", 42),
+            mesh=mesh,
+            shard_nodes=cfg_get(self.config, "parallel.shard_graph_nodes",
+                                False),
         )
         miner = create_triplet_miner(
             positive_distance_max=trip.get("positive_distance_max", 5.0),

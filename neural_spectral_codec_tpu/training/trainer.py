@@ -84,13 +84,32 @@ class GNNTrainer:
                  margin: float = 0.1, grad_clip: Optional[float] = 1.0,
                  checkpoint_dir: str = "checkpoints", log_interval: int = 10,
                  patience: int = 10, triplets_per_step: int = 4096,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None, shard_nodes: bool = False):
+        """``mesh``: a ``jax.sharding.Mesh`` enables SPMD training — the
+        triplet batch is sharded over the mesh's ``data`` axis (gradient
+        psum inserted by the partitioner) and, with ``shard_nodes``, the
+        keyframe-graph node axis too. Replaces the reference's
+        ``nn.DataParallel`` (trainer.py:106-108)."""
         self.model = model or SpectralGNN()
         self.margin = margin
         self.optimizer = make_optimizer(learning_rate, weight_decay, grad_clip)
         self._rng = jax.random.key(seed)
         self.params, self.batch_stats = init_gnn(self.model, self._next_rng())
         self.opt_state = self.optimizer.init(self.params)
+        self.mesh = mesh
+        self._divisor = 1
+        if mesh is not None:
+            from neural_spectral_codec_tpu.parallel.train import (
+                make_sharded_train_step)
+            self._sharded_step = make_sharded_train_step(
+                self.model, self.optimizer, mesh, shard_nodes=shard_nodes)
+            self._divisor = int(np.prod(list(mesh.shape.values())))
+            if shard_nodes:
+                logger.info("SPMD training over %d devices (nodes sharded)",
+                            self._divisor)
+            else:
+                logger.info("SPMD data-parallel training over %d devices",
+                            self._divisor)
 
         self.checkpoint_dir = Path(checkpoint_dir)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
@@ -134,7 +153,8 @@ class GNNTrainer:
         triplets = triplets[perm]
 
         dev_graph = self._graph_device(graph)
-        B = self.triplets_per_step
+        # batch size padded so every step (and every device shard) is full
+        B = -(-self.triplets_per_step // self._divisor) * self._divisor
         n_steps = -(-len(triplets) // B)
         pad = n_steps * B - len(triplets)
         tmask = np.ones(len(triplets), bool)
@@ -142,12 +162,14 @@ class GNNTrainer:
             triplets = np.concatenate([triplets, np.zeros((pad, 3), np.int64)])
             tmask = np.concatenate([tmask, np.zeros(pad, bool)])
 
+        step_fn = self._sharded_step if self.mesh is not None else \
+            functools.partial(train_step, self.model, self.optimizer)
         losses = []
         for s in range(n_steps):
             sl = slice(s * B, (s + 1) * B)
             batch = triplets[sl]
-            self.params, self.batch_stats, self.opt_state, loss = train_step(
-                self.model, self.optimizer, self.params, self.batch_stats,
+            self.params, self.batch_stats, self.opt_state, loss = step_fn(
+                self.params, self.batch_stats,
                 self.opt_state, *dev_graph,
                 jnp.asarray(batch[:, 0]), jnp.asarray(batch[:, 1]),
                 jnp.asarray(batch[:, 2]), jnp.asarray(tmask[sl]),

@@ -193,3 +193,55 @@ def test_pad_to_multiple():
     assert p.shape[0] == 16 and m.sum() == 10
     b, mb = pad_to_multiple(np.ones((8, 2)), 8)
     assert b.shape == (8, 2) and mb.all()
+
+
+def test_trainer_with_mesh_trains(rng, tmp_path):
+    """GNNTrainer(mesh=) runs SPMD training end-to-end and tracks the
+    single-device trainer's loss trajectory."""
+    from neural_spectral_codec_tpu.training.trainer import GNNTrainer
+    from neural_spectral_codec_tpu.training.miner import create_triplet_miner
+
+    model = SpectralGNN(input_dim=32, hidden_dim=16, output_dim=32,
+                        dropout=0.0)
+    graph = _tiny_graph(rng, n_nodes=40, dim=32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (40, 1, 1))
+    poses[:, 0, 3] = np.arange(40) * 2.0
+    poses[20:, 0, 3] = poses[:20, 0, 3]  # revisits so triplets exist
+    def miner():  # fresh identically-seeded miner per trainer (the
+        # miner's RNG key advances on every mine_triplets call)
+        return create_triplet_miner(positive_temporal_min=5,
+                                    negative_temporal_min=5,
+                                    negative_distance_min=4.0,
+                                    negative_distance_max=50.0)
+
+    kwargs = dict(model=model, checkpoint_dir=str(tmp_path),
+                  triplets_per_step=64, seed=0)
+    t_single = GNNTrainer(**kwargs)
+    t_mesh = GNNTrainer(mesh=create_mesh(8), **kwargs)
+    l1 = t_single.train_epoch(graph, miner(), poses, graph.features)
+    l2 = t_mesh.train_epoch(graph, miner(), poses, graph.features)
+    assert l2 > 0
+    np.testing.assert_allclose(l2, l1, rtol=1e-3)
+
+
+def test_sharded_query_batch_matches_plain(rng):
+    n, bins = 64, 50
+    hists = rng.random((n, bins), dtype=np.float32)
+    hists /= hists.sum(axis=1, keepdims=True)
+    pos = rng.random((n, 3), dtype=np.float32) * 100
+    mesh = create_mesh(8)
+    sharded = ShardedWassersteinRetriever(mesh, n_bins=bins, capacity=64)
+    plain = WassersteinRetriever(n_bins=bins, capacity=64)
+    sharded.add_to_database(hists, pos)
+    plain.add_to_database(hists, pos)
+    qs = [3, 17, 42]
+    bidx, bdist = sharded.query_batch(hists[qs], top_k=5,
+                                      query_positions=pos[qs],
+                                      spatial_min_distance=20.0)
+    for row, qi in enumerate(qs):
+        sidx, sdist = plain.query(hists[qi], top_k=5, query_position=pos[qi],
+                                  spatial_min_distance=20.0)
+        keep = np.isfinite(bdist[row])
+        np.testing.assert_allclose(np.sort(bdist[row][keep]),
+                                   np.sort(sdist), rtol=1e-5, atol=1e-7)
+        assert set(bidx[row][keep].tolist()) == set(sidx.tolist())
