@@ -21,6 +21,9 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: reruns skip the ~minutes-long first compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from neural_spectral_codec_tpu.ops.spectral import (
         SpectralEncoderConfig, encode_points_batch)
