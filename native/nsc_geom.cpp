@@ -291,7 +291,29 @@ void nsc_icp(const float* src, int ns, const float* dst, int nd,
   Grid grid;
   grid.build(dst, nd, max_corr);
 
-  double fit = 0, err = 0;
+  // correspondence statistics of a FIXED transform (reported stats must
+  // describe T_out, so they are recomputed after the final update — the
+  // JAX kernel does the same)
+  auto stats = [&](const float* Tm, double* fit, double* err) {
+    int inliers = 0;
+    double sq_sum = 0;
+    for (int i = 0; i < ns; i++) {
+      float p[3] = {src[3 * i], src[3 * i + 1], src[3 * i + 2]};
+      float tp[3] = {
+          Tm[0] * p[0] + Tm[1] * p[1] + Tm[2] * p[2] + Tm[3],
+          Tm[4] * p[0] + Tm[5] * p[1] + Tm[6] * p[2] + Tm[7],
+          Tm[8] * p[0] + Tm[9] * p[1] + Tm[10] * p[2] + Tm[11]};
+      int j = grid.nearest(tp, max_corr);
+      if (j < 0) continue;
+      const float* q = &dst[3 * j];
+      double dx = tp[0] - q[0], dy = tp[1] - q[1], dz = tp[2] - q[2];
+      inliers++;
+      sq_sum += dx * dx + dy * dy + dz * dz;
+    }
+    *fit = ns > 0 ? (double)inliers / ns : 0.0;
+    *err = inliers > 0 ? std::sqrt(sq_sum / inliers) : 0.0;
+  };
+
   for (int iter = 0; iter < max_iters; iter++) {
     double A[6][6] = {}, b[6] = {};
     int inliers = 0;
@@ -338,8 +360,6 @@ void nsc_icp(const float* src, int ns, const float* dst, int nd,
         }
       }
     }
-    fit = ns > 0 ? (double)inliers / ns : 0.0;
-    err = inliers > 0 ? std::sqrt(sq_sum / inliers) : 0.0;
     if (inliers < 6) break;
     for (int a = 0; a < 6; a++)
       for (int c = 0; c < a; c++) A[a][c] = A[c][a];
@@ -351,6 +371,8 @@ void nsc_icp(const float* src, int ns, const float* dst, int nd,
     if (step < 1e-14) break;
   }
   std::memcpy(T_out, T, sizeof(T));
+  double fit, err;
+  stats(T, &fit, &err);
   *fitness = (float)fit;
   *rmse = (float)err;
 }

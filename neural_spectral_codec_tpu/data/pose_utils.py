@@ -169,6 +169,14 @@ def compute_overlap(points1: np.ndarray, points2: np.ndarray, T_12: np.ndarray,
                     backend: str = "numpy") -> float:
     """Voxel-IoU overlap with downsampling (reference :323-389).
 
+    ``T_12`` maps cloud2's frame into cloud1's frame — for the keyframe
+    criterion that is ``relative_pose(pose1, pose2)``, which takes
+    current-frame (cloud2) coordinates to the last keyframe's (cloud1)
+    frame. DOCUMENTED DIVERGENCE: the reference applies that transform to
+    cloud1 instead (pose_utils.py:353, a frame error that offsets the
+    clouds by 2× the actual motion, deflating the IoU and over-selecting
+    keyframes); here the frames are aligned correctly.
+
     Vectorized set ops: voxel coordinates packed into a single int64 key and
     intersected with ``np.intersect1d`` instead of Python sets. A seedable
     Generator replaces the reference's global ``np.random`` for determinism.
@@ -180,8 +188,8 @@ def compute_overlap(points1: np.ndarray, points2: np.ndarray, T_12: np.ndarray,
     if backend == "native":
         from neural_spectral_codec_tpu import native
         if native.available():
-            # native transforms its SECOND cloud, compute_overlap its first
-            return native.voxel_overlap(points2, points1, T_12,
+            # native transforms its second cloud by T_rel, same convention
+            return native.voxel_overlap(points1, points2, T_12,
                                         voxel=voxel_size,
                                         max_points=max_points)
     rng = rng or np.random.default_rng(0)
@@ -190,7 +198,7 @@ def compute_overlap(points1: np.ndarray, points2: np.ndarray, T_12: np.ndarray,
     if len(points2) > max_points:
         points2 = points2[rng.choice(len(points2), max_points, replace=False)]
 
-    p1 = transform_points(points1[:, :3], T_12)
+    p2 = transform_points(points2[:, :3], T_12)
 
     def voxel_keys(pts: np.ndarray) -> np.ndarray:
         ok = np.isfinite(pts).all(axis=1)
@@ -201,7 +209,7 @@ def compute_overlap(points1: np.ndarray, points2: np.ndarray, T_12: np.ndarray,
         key = ((v[:, 0] + off) << 42) | ((v[:, 1] + off) << 21) | (v[:, 2] + off)
         return np.unique(key)
 
-    k1, k2 = voxel_keys(p1), voxel_keys(points2[:, :3])
+    k1, k2 = voxel_keys(points1[:, :3]), voxel_keys(p2)
     inter = np.intersect1d(k1, k2, assume_unique=True).size
     union = k1.size + k2.size - inter
     return inter / union if union > 0 else 0.0

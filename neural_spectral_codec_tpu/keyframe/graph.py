@@ -102,12 +102,13 @@ def build_graph(
     if loop_closures:
         fill = np.full(n, 2 * hw, dtype=np.int32)  # next free loop slot
         for q, m in loop_closures:
-            if not (0 <= q < n and 0 <= m < n):
+            if not (0 <= q < n and 0 <= m < n) or q == m:
                 continue
+            if fill[q] >= D or fill[m] >= D:
+                continue  # bounded loop degree: drop the WHOLE edge when
+                # either endpoint is full, so edges stay symmetric
             for a, b in ((q, m), (m, q)):
                 s = fill[b]
-                if s >= D:
-                    continue  # bounded loop degree; overflow dropped
                 neighbors[b, s] = a
                 mask[b, s] = True
                 if poses is not None:

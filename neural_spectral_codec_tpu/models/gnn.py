@@ -245,14 +245,20 @@ class LocalUpdateGNN:
 
     def update_embeddings_local(self, manager, center_node: int,
                                 k_hops: Optional[int] = None) -> None:
-        """Refresh embeddings of the (k−1)-hop core around ``center_node``
-        in-place in the graph manager. Nodes in the subgraph boundary see a
-        truncated neighborhood, so only the inner core is written back."""
+        """Refresh embeddings around ``center_node`` in-place in the graph
+        manager. A node at hop h inside a k-hop subgraph only has its full
+        n_layers-deep receptive field when h + n_layers ≤ k, so exactly
+        the (k − n_layers)-hop core is written back (with the default
+        k=3 = n_layers that is the center node alone) — writing a wider
+        core would overwrite good embeddings with truncated-neighborhood
+        ones."""
         k = self.k_hops if k_hops is None else k_hops
         sub, mapping = manager.get_local_subgraph(center_node, k)
         emb = jax.device_get(
             gnn_forward(self.model, self.params, self.batch_stats,
                         self._padded(sub)))
-        core = manager.get_k_hop_neighbors(center_node, max(k - 1, 0))
+        core = manager.get_k_hop_neighbors(
+            center_node, max(k - self.model.n_layers, 0))
         for node in core:
             manager.keyframes[node].embedding = emb[mapping[node]]
+        return sorted(core)

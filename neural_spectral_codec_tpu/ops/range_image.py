@@ -8,14 +8,15 @@ TPU compilation model:
     are masked out by the same finite+range gate the reference applies, so a
     scan with N points can be padded with NaNs (or zeros, which fail the
     ``min_range`` gate) to a fixed ``max_points``.
-  * The scatter-min fill (``np.minimum.at``, range_image.py:208) becomes an
-    XLA ``scatter-min`` (``.at[idx].min``) into a flat grid with one extra
-    dump slot for masked points — no data-dependent shapes.
+  * The scatter-min fill (``np.minimum.at``, range_image.py:208) becomes a
+    sort-based segment-min (packed single-key sort + exact run-suffix-min
+    fix-up), densified either by a unique-indices scatter (single scan) or
+    scatter-free via sort-compaction + butterfly expansion (TPU batch path)
+    — scatters serialize/crawl on TPU; sorts and rolls do not.
   * The sequential per-row circular interpolation (range_image.py:15-89)
-    becomes a closed-form gather: per pixel we find the nearest valid pixel
-    to the left/right with cumulative max/min scans and blend linearly.
-    This reproduces ``np.interp`` over the circularly extended valid samples
-    exactly (linear interpolation between the two surrounding valid pixels).
+    becomes value-carrying pointer doubling: nearest valid pixel left/right
+    in log2(width) roll+select steps, then a linear blend. Reproduces
+    ``np.interp`` over the circularly extended valid samples exactly.
 
 All functions are pure and shape-polymorphic only in Python (static) args so
 they can be ``jit``-ed and ``vmap``-ed.
@@ -102,7 +103,7 @@ def project_points(points: jnp.ndarray, config: ProjectionConfig) -> jnp.ndarray
     vals = jnp.where(valid, rng, jnp.inf).astype(jnp.float32)
 
     sorted_idx, run_min, is_start = _segment_min_sorted(
-        linear_idx, vals, config.max_range)
+        linear_idx, vals, config.max_range, n_pix)
 
     # non-starts go far out of bounds and are dropped — the surviving
     # indices are unique, so XLA can parallelize the scatter
@@ -113,24 +114,37 @@ def project_points(points: jnp.ndarray, config: ProjectionConfig) -> jnp.ndarray
     return img.reshape(config.n_elevation, config.n_azimuth)
 
 
+def _quant_bits(n_pix: int) -> int:
+    """Low bits available for range quantization in the packed int31 sort
+    key: pixel ids (incl. the dump slot n_pix) take the high bits. With
+    FEWER quant bits the result stays exact — the suffix-min fix-up
+    recovers the true minimum over any equal-key run; the quantization
+    only pre-orders within runs. 0 bits = plain pixel sort, still exact."""
+    id_bits = (n_pix + 1).bit_length()
+    if id_bits > 31:
+        raise ValueError(f"image with {n_pix} pixels exceeds int32 sort keys")
+    return min(16, 31 - id_bits)
+
+
 def _segment_min_sorted(linear_idx: jnp.ndarray, vals: jnp.ndarray,
-                        max_range: float):
+                        max_range: float, n_pix: int):
     """Sort-based segment-min: returns (sorted pixel ids, exact per-run
     min at run starts, run-start mask).
 
     XLA serializes conflicting scatters on TPU (~10⁴× slower than this),
     and a SINGLE int32 sort key is ~12× faster than a 2-key lexicographic
-    sort — so the key packs (pixel << 16 | 16-bit-quantized range) with
+    sort — so the key packs (pixel << qb | qb-bit-quantized range) with
     the exact fp32 range riding along as payload. Quantization is
     monotone, so each pixel run starts with the quantum containing the
     true minimum; a log-step suffix-min over equal-key runs then recovers
     the EXACT min (bit-identical to the reference's np.minimum.at,
     range_image.py:208)."""
     n_points = linear_idx.shape[0]
-    quant = jnp.minimum(
-        (vals * (65535.0 / max_range)).astype(jnp.int32), 65535)
-    quant = jnp.maximum(quant, 0)
-    packed = (linear_idx << 16) | quant
+    qb = _quant_bits(n_pix)
+    qmax = (1 << qb) - 1
+    quant = jnp.clip(
+        (vals * (qmax / max_range)).astype(jnp.int32), 0, qmax)
+    packed = (linear_idx << qb) | quant
     sorted_key, sorted_rng = jax.lax.sort((packed, vals), num_keys=1)
 
     pos = jnp.arange(n_points, dtype=jnp.int32)
@@ -143,7 +157,7 @@ def _segment_min_sorted(linear_idx: jnp.ndarray, vals: jnp.ndarray,
         run_min = jnp.where(same, jnp.minimum(run_min, cand), run_min)
         shift *= 2
 
-    sorted_idx = jax.lax.shift_right_logical(sorted_key, 16)
+    sorted_idx = jax.lax.shift_right_logical(sorted_key, qb)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_idx[1:] != sorted_idx[:-1]])
     return sorted_idx, run_min, is_start
@@ -155,10 +169,10 @@ def project_points_batch(points: jnp.ndarray, config: ProjectionConfig) -> jnp.n
 
     On TPU, densification runs scatter-free (XLA's unique-indices scatter
     still costs ~6 ns/element): run-starts are compacted by a second
-    single-key sort into UNIQUE ascending pixel ids, so every 128-pixel
-    output block's entries form a ≤128-long contiguous span; a Pallas
-    kernel then materializes each block with one 128×128 compare-select.
-    Elsewhere (CPU tests) it falls back to the per-scan scatter path.
+    single-key sort into UNIQUE ascending pixel ids, then routed to their
+    dense pixel slots by a butterfly expansion (_monotone_expand).
+    Elsewhere (CPU tests) it falls back to the per-scan scatter path —
+    both paths are bit-identical.
     """
     if jax.default_backend() == "tpu":
         return _project_points_batch_compact(points, config)
@@ -226,7 +240,7 @@ def _project_points_batch_compact(points: jnp.ndarray,
 
     def compact(idx_row, val_row):
         sorted_idx, run_min, is_start = _segment_min_sorted(
-            idx_row, val_row, config.max_range)
+            idx_row, val_row, config.max_range, n_pix)
         key2 = jnp.where(is_start & (sorted_idx < n_pix), sorted_idx,
                          jnp.int32(1 << 29))
         return jax.lax.sort((key2, run_min), num_keys=1)
@@ -366,9 +380,11 @@ def project_points_with_intensity(
     vals = jnp.where(valid, rng, jnp.inf).astype(jnp.float32)
 
     n_points = linear_idx.shape[0]
-    quant = jnp.maximum(jnp.minimum(
-        (vals * (65535.0 / config.max_range)).astype(jnp.int32), 65535), 0)
-    packed = (linear_idx << 16) | quant
+    qb = _quant_bits(n_pix)
+    qmax = (1 << qb) - 1
+    quant = jnp.clip(
+        (vals * (qmax / config.max_range)).astype(jnp.int32), 0, qmax)
+    packed = (linear_idx << qb) | quant
     sorted_key, sorted_rng, sorted_int = jax.lax.sort(
         (packed, vals, intens.astype(jnp.float32)), num_keys=1)
 
@@ -385,7 +401,7 @@ def project_points_with_intensity(
         run_min = jnp.where(take, cand, run_min)
         shift *= 2
 
-    sorted_idx = jax.lax.shift_right_logical(sorted_key, 16)
+    sorted_idx = jax.lax.shift_right_logical(sorted_key, qb)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_idx[1:] != sorted_idx[:-1]])
     target = jnp.where(is_start, sorted_idx, 1 << 29)

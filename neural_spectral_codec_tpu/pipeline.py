@@ -140,9 +140,17 @@ class NeuralSpectralCodecPipeline:
         self.use_local_updates = g.get("use_local_updates", True)
 
         r = config.get("retrieval", {})
+        # retrieval.use_embeddings switches stage 1 from W1-on-histograms
+        # (reference behavior — which leaves the online GNN embeddings
+        # UNUSED, reference pipeline.py:259) to L2-on-GNN-embeddings, the
+        # mode the training recall metric actually optimizes
+        self.use_embeddings_for_retrieval = r.get("use_embeddings", False)
         self.retrieval = TwoStageRetrieval(
+            stage1_metric=("l2" if self.use_embeddings_for_retrieval
+                           else "wasserstein"),
             top_k=r.get("top_k", 10),
             spatial_filter_distance=r.get("spatial_filter_distance", 50.0),
+            context_window=r.get("context_window", 10),
             fitness_threshold=r.get("icp_fitness_threshold", 0.3),
             rmse_threshold=r.get("icp_rmse_threshold", 0.5),
             verification_method=r.get("verification_method", "gicp"),
@@ -336,16 +344,25 @@ class NeuralSpectralCodecPipeline:
                 kf.descriptor = self.encoder.encode_one(kf.points)
             with self.profiler.profile("graph_update"):
                 node = self.graph_manager.add_keyframe(kf)
+                refreshed_nodes = []
                 if self.use_local_updates:
-                    local_gnn.update_embeddings_local(
-                        self.graph_manager, node)
+                    refreshed_nodes = local_gnn.update_embeddings_local(
+                        self.graph_manager, node) or []
                 else:
                     graph = self.graph_manager.get_graph()
                     emb = np.asarray(gnn_forward(
                         self.model, self.params, self.batch_stats, graph))
                     self.graph_manager.update_embeddings(emb)
+                    refreshed_nodes = list(range(len(
+                        self.graph_manager.keyframes)))
             with self.profiler.profile("retrieval_add"):
                 self.retrieval.add_keyframe(kf)
+                if self.use_embeddings_for_retrieval and refreshed_nodes:
+                    # keep already-inserted rows in sync with the GNN's
+                    # refreshed embeddings (db row index == keyframe_id)
+                    self.retrieval.refresh_keyframes([
+                        self.graph_manager.keyframes[i].keyframe_id
+                        for i in refreshed_nodes])
 
             if len(self.selector.keyframes) % loop_closure_interval == 0:
                 with self.profiler.profile("loop_closing"):

@@ -28,18 +28,26 @@ import numpy as np
 from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def _query_batch_kernel(db_cdf, db_pos, size, query_hists, query_pos_and_filters,
-                        top_k):
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _query_batch_kernel(db_rows, db_pos, size, queries, query_pos_and_filters,
+                        top_k, metric="wasserstein"):
     """Batched fused query: (Q, n_bins) queries against the whole database
     in ONE dispatch. The database is streamed from HBM once for all Q
     queries instead of once per query — at 100k × 800 the database read
-    dominates, so batching amortizes it to ~Q× cheaper per query."""
-    n = db_cdf.shape[0]
-    q_cdf = jnp.cumsum(
-        query_hists / jnp.maximum(
-            query_hists.sum(axis=1, keepdims=True), 1e-12), axis=1)
-    dists = jnp.sum(jnp.abs(db_cdf[None, :, :] - q_cdf[:, None, :]), axis=2)
+    dominates, so batching amortizes it to ~Q× cheaper per query.
+
+    metric="wasserstein": rows are CDFs, queries are histograms (CDF'd
+    here), distance = L1 of CDF difference = 1-D W₁.
+    metric="l2": rows/queries are raw vectors (e.g. GNN embeddings)."""
+    n = db_rows.shape[0]
+    if metric == "wasserstein":
+        q = jnp.cumsum(
+            queries / jnp.maximum(
+                queries.sum(axis=1, keepdims=True), 1e-12), axis=1)
+        dists = jnp.sum(jnp.abs(db_rows[None, :, :] - q[:, None, :]), axis=2)
+    else:
+        dists = jnp.linalg.norm(
+            db_rows[None, :, :] - queries[:, None, :], axis=2)
     idx = jnp.arange(n)
     invalid = (idx >= size)[None, :]
     qp = query_pos_and_filters[:, :3]
@@ -51,15 +59,19 @@ def _query_batch_kernel(db_cdf, db_pos, size, query_hists, query_pos_and_filters
     return top_idx, -neg_top
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def _query_kernel(db_cdf, db_pos, size, query_hist, query_pos_and_filter, top_k):
-    """Fused normalize + CDF + distance + masking + top-k, one dispatch.
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _query_kernel(db_rows, db_pos, size, query, query_pos_and_filter, top_k,
+                  metric="wasserstein"):
+    """Fused encode + distance + masking + top-k, one dispatch.
     ``query_pos_and_filter`` is a (4,) vector [x, y, z,
     min_spatial_distance]; min_spatial_distance ≤ 0 disables the spatial
     filter."""
-    n = db_cdf.shape[0]
-    query_cdf = histogram_cdf(query_hist)
-    dists = jnp.sum(jnp.abs(db_cdf - query_cdf[None, :]), axis=1)
+    n = db_rows.shape[0]
+    if metric == "wasserstein":
+        q = histogram_cdf(query)
+        dists = jnp.sum(jnp.abs(db_rows - q[None, :]), axis=1)
+    else:
+        dists = jnp.linalg.norm(db_rows - query[None, :], axis=1)
     idx = jnp.arange(n)
     invalid = idx >= size
     qp = query_pos_and_filter[:3]
@@ -71,56 +83,85 @@ def _query_kernel(db_cdf, db_pos, size, query_hist, query_pos_and_filter, top_k)
 
 
 class WassersteinRetriever:
-    """Append-only descriptor database with device-side top-k queries."""
+    """Append-only descriptor database with device-side top-k queries.
+
+    ``metric="wasserstein"`` (default) stores normalized-histogram CDFs
+    and ranks by 1-D W₁ — the reference's stage-1 metric on raw spectral
+    descriptors. ``metric="l2"`` stores raw vectors and ranks by L2 — for
+    GNN-enhanced embeddings, which are not histograms (they carry the
+    input residual and may be negative)."""
 
     def __init__(self, n_bins: int = 800, capacity: int = 100_000,
-                 epsilon: float = 1e-8):
+                 epsilon: float = 1e-8, metric: str = "wasserstein"):
+        if metric not in ("wasserstein", "l2"):
+            raise ValueError(f"unknown metric: {metric}")
         self.n_bins = n_bins
         self.capacity = capacity
         self.epsilon = epsilon
+        self.metric = metric
         self.database_size = 0
         self._db_cdf = jnp.zeros((capacity, n_bins), jnp.float32)
         self._db_pos = jnp.zeros((capacity, 3), jnp.float32)
 
+    def _encode_rows(self, vectors: jnp.ndarray) -> jnp.ndarray:
+        if self.metric == "wasserstein":
+            return histogram_cdf(vectors, self.epsilon)
+        return vectors
+
     def add_to_database(self, histograms: np.ndarray,
                         positions: Optional[np.ndarray] = None) -> None:
-        """Insert (n, n_bins) histograms (stored as CDFs) with optional
-        (n, 3) positions for spatial filtering."""
+        """Insert (n, n_bins) vectors (histograms stored as CDFs under the
+        W₁ metric; raw under L2) with optional (n, 3) positions for
+        spatial filtering."""
         h = jnp.asarray(np.atleast_2d(np.asarray(histograms, np.float32)))
         n = h.shape[0]
         if self.database_size + n > self.capacity:
             raise ValueError(
                 f"Database capacity exceeded: {self.database_size}+{n} > {self.capacity}")
-        cdf = histogram_cdf(h, self.epsilon)
         sl = slice(self.database_size, self.database_size + n)
-        self._db_cdf = self._db_cdf.at[sl].set(cdf)
+        self._db_cdf = self._db_cdf.at[sl].set(self._encode_rows(h))
         if positions is not None:
             self._db_pos = self._db_pos.at[sl].set(
                 jnp.asarray(np.atleast_2d(positions), jnp.float32))
         self.database_size += n
 
+    def update_rows(self, indices: np.ndarray, vectors: np.ndarray) -> None:
+        """Overwrite existing rows in place — used when GNN local updates
+        refresh the embeddings of already-inserted keyframes."""
+        idx = np.atleast_1d(np.asarray(indices, np.int64))
+        if len(idx) == 0:
+            return
+        if idx.max() >= self.database_size:
+            raise IndexError("update_rows beyond database size")
+        v = jnp.asarray(np.atleast_2d(np.asarray(vectors, np.float32)))
+        self._db_cdf = self._db_cdf.at[jnp.asarray(idx)].set(
+            self._encode_rows(v))
+
     def query(self, query_hist: np.ndarray, top_k: int = 10,
               query_position: Optional[np.ndarray] = None,
-              spatial_min_distance: float = 0.0
-              ) -> Tuple[np.ndarray, np.ndarray]:
+              spatial_min_distance: float = 0.0,
+              exclude_last: int = 0) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k W₁ matches. Entries closer than ``spatial_min_distance`` to
-        ``query_position`` are excluded on device (fused, no host loop).
-        Returns (indices, distances) trimmed to valid entries.
+        ``query_position`` are excluded on device (fused, no host loop);
+        ``exclude_last`` drops the most recently inserted entries (temporal
+        context exclusion). Returns (indices, distances) trimmed to valid
+        entries.
 
         ``query_hist`` may be a device array (e.g. straight from the
         encoder) — then the query is a single dispatch with no host↔device
         copies of the descriptor."""
-        if self.database_size == 0:
+        eff_size = max(self.database_size - max(exclude_last, 0), 0)
+        if eff_size == 0:
             return np.array([], np.int64), np.array([])
-        k = int(min(top_k, self.database_size))
+        k = int(min(top_k, eff_size))
         q = jnp.asarray(query_hist, jnp.float32)  # no-op for device arrays
         qp = np.zeros(4, np.float32)
         if query_position is not None and spatial_min_distance > 0:
             qp[:3] = np.asarray(query_position)
             qp[3] = spatial_min_distance
         idx, dist = _query_kernel(self._db_cdf, self._db_pos,
-                                  jnp.int32(self.database_size), q,
-                                  jnp.asarray(qp), k)
+                                  jnp.int32(eff_size), q,
+                                  jnp.asarray(qp), k, self.metric)
         idx, dist = np.asarray(idx), np.asarray(dist)
         keep = np.isfinite(dist)
         return idx[keep], dist[keep]
@@ -145,7 +186,7 @@ class WassersteinRetriever:
             qp[:, 3] = spatial_min_distance
         idx, dist = _query_batch_kernel(
             self._db_cdf, self._db_pos, jnp.int32(self.database_size), q,
-            jnp.asarray(qp), k)
+            jnp.asarray(qp), k, self.metric)
         return np.asarray(idx), np.asarray(dist)
 
     def clear_database(self) -> None:

@@ -39,11 +39,15 @@ class TwoStageRetrieval:
                  n_bins: int = 800, capacity: int = 100_000,
                  icp_max_iterations: int = 30, voxel_downsample: float = 0.3,
                  verification_max_points: int = 4096,
-                 verification_backend: str = "auto"):
+                 verification_backend: str = "auto",
+                 stage1_metric: str = "wasserstein"):
         self.top_k = top_k
         self.spatial_filter_distance = spatial_filter_distance
         self.context_window = context_window
-        self.retriever = WassersteinRetriever(n_bins=n_bins, capacity=capacity)
+        self.stage1_metric = stage1_metric
+        self.retriever = WassersteinRetriever(n_bins=n_bins,
+                                              capacity=capacity,
+                                              metric=stage1_metric)
         self.verifier = GeometricVerifier(
             method=verification_method,
             fitness_threshold=fitness_threshold,
@@ -55,13 +59,30 @@ class TwoStageRetrieval:
         )
         self.keyframes: List[Keyframe] = []
 
+    def _stage1_vector(self, keyframe: Keyframe) -> np.ndarray:
+        """Under the L2 metric, GNN embeddings drive stage 1 when present
+        (falling back to raw descriptors); the W₁ metric always uses the
+        raw spectral histogram (embeddings are not histograms)."""
+        if self.stage1_metric == "l2" and keyframe.embedding is not None:
+            return keyframe.embedding
+        return keyframe.descriptor
+
     def add_keyframe(self, keyframe: Keyframe) -> None:
         if keyframe.descriptor is None:
             raise ValueError("Keyframe must have descriptor before adding to database")
         self.keyframes.append(keyframe)
         pos = keyframe.pose[:3, 3] if keyframe.pose is not None else np.zeros(3)
         self.retriever.add_to_database(
-            keyframe.descriptor.reshape(1, -1), pos.reshape(1, 3))
+            self._stage1_vector(keyframe).reshape(1, -1), pos.reshape(1, 3))
+
+    def refresh_keyframes(self, database_indices) -> None:
+        """Re-encode already-inserted rows from their keyframes' CURRENT
+        stage-1 vectors (used after GNN local updates refresh embeddings)."""
+        idx = [i for i in database_indices if 0 <= i < len(self.keyframes)]
+        if not idx:
+            return
+        vecs = np.stack([self._stage1_vector(self.keyframes[i]) for i in idx])
+        self.retriever.update_rows(np.asarray(idx), vecs)
 
     def query(self, query_keyframe: Keyframe,
               query_points: Optional[np.ndarray] = None,
@@ -82,10 +103,15 @@ class TwoStageRetrieval:
         pos = (query_keyframe.pose[:3, 3]
                if query_keyframe.pose is not None else None)
         idx, dist = self.retriever.query(
-            query_keyframe.descriptor,
+            self._stage1_vector(query_keyframe),
             top_k=self.top_k,
             query_position=pos,
             spatial_min_distance=self.spatial_filter_distance if pos is not None else 0.0,
+            # temporal context exclusion — the reference declares
+            # context_window (configs/default.yaml:59) but never consumes
+            # it; without it (and with poses absent or drift-free) the
+            # trivial temporally-adjacent keyframes win every query
+            exclude_last=self.context_window,
         )
         return [LoopClosureCandidate(int(i), float(d)) for i, d in zip(idx, dist)]
 

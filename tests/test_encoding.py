@@ -239,3 +239,49 @@ def test_project_with_intensity(rng):
         assert abs(iimg[e, a] - pts[j, 3]) < 1e-6
         checked += 1
     assert checked > 0
+
+
+def test_compact_batch_projection_matches_scatter_path(rng):
+    """The TPU batch projection (sort-compaction + butterfly expansion)
+    must be bit-identical to the per-scan scatter path. The backend gate
+    in project_points_batch hides this path from the CPU suite, so it is
+    called directly here (CLAUDE.md: device code paths need a CPU parity
+    test)."""
+    import jax
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        ProjectionConfig, _project_points_batch_compact, project_points)
+
+    for cfg in (ProjectionConfig(),                       # 64x360
+                ProjectionConfig(n_elevation=16, n_azimuth=90),
+                ProjectionConfig(n_elevation=128, n_azimuth=1024)):  # >2^16 px
+        pts = rng.uniform(-50, 50, (4, 8192, 4)).astype(np.float32)
+        pts[0, ::7] = np.nan
+        pts[1, :8000] = 0.0  # mostly sub-min-range -> sparse scan
+        got = np.asarray(jax.jit(
+            lambda p, c=cfg: _project_points_batch_compact(p, c))(
+                jnp.asarray(pts)))
+        ref = np.asarray(jax.jit(jax.vmap(
+            lambda p, c=cfg: project_points(p, c)))(jnp.asarray(pts)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_monotone_expand_random(rng):
+    """Butterfly expansion: brute-force random monotone instances."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import _monotone_expand
+    M = 256
+    for _ in range(50):
+        n_flag = int(rng.integers(1, 100))
+        tgts = np.sort(rng.choice(M, n_flag, replace=False))
+        val = np.zeros((1, M), np.float32)
+        flag = np.zeros((1, M), bool)
+        disp = np.zeros((1, M), np.int32)
+        val[0, :n_flag] = np.arange(1, n_flag + 1)
+        flag[0, :n_flag] = True
+        disp[0, :n_flag] = tgts - np.arange(n_flag)
+        (out,), _ = _monotone_expand((jnp.asarray(val),), jnp.asarray(flag),
+                                     jnp.asarray(disp), 8)
+        ref = np.zeros(M)
+        ref[tgts] = np.arange(1, n_flag + 1)
+        np.testing.assert_array_equal(np.asarray(out)[0], ref)

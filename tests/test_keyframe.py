@@ -171,3 +171,26 @@ def test_khop_contents():
     # node 5 with ±2 window: 1-hop = {3,4,5,6,7}
     assert mgr.get_k_hop_neighbors(5, 1) == {3, 4, 5, 6, 7}
     assert mgr.get_k_hop_neighbors(5, 2) == {1, 2, 3, 4, 5, 6, 7, 8, 9}
+
+
+def test_compute_overlap_frame_correctness(rng):
+    """A static scene seen from two sensor positions must yield ~full
+    overlap when the relative pose aligns the frames. (The reference
+    transforms the wrong cloud — its IoU for this case collapses toward
+    zero; documented divergence in pose_utils.compute_overlap.)"""
+    from neural_spectral_codec_tpu.data import pose_utils as pu
+    world = rng.uniform(-20, 20, (4000, 3)).astype(np.float32)
+    t_last = np.array([1.0, 2.0, 0.0])
+    t_cur = np.array([1.4, 2.3, 0.0])     # 0.5 m motion, sub-threshold
+    pose_last, pose_cur = np.eye(4), np.eye(4)
+    pose_last = pose_last.copy(); pose_last[:3, 3] = t_last
+    pose_cur = pose_cur.copy(); pose_cur[:3, 3] = t_cur
+    cloud_last = world - t_last           # sensor-frame coordinates
+    cloud_cur = world - t_cur
+    T_rel = pu.relative_pose(pose_last, pose_cur)
+    iou = pu.compute_overlap(cloud_last, cloud_cur, T_rel, voxel_size=0.2)
+    assert iou > 0.95, iou
+    if __import__("neural_spectral_codec_tpu.native", fromlist=["native"]).available():
+        iou_n = pu.compute_overlap(cloud_last, cloud_cur, T_rel,
+                                   voxel_size=0.2, backend="native")
+        assert iou_n > 0.95, iou_n

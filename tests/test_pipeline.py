@@ -137,3 +137,21 @@ def test_online_monitoring_and_database_persistence(tmp_path, caplog):
                            capacity=100)
     n = r2.load_database(str(db_path))
     assert n == len(pipe.selector.keyframes) and n > 0
+
+
+def test_online_with_embedding_retrieval(tmp_path):
+    """retrieval.use_embeddings routes stage 1 through GNN embeddings
+    (L2) and keeps rows in sync with local-update refreshes."""
+    cfg = small_config(tmp_path, retrieval={
+        "use_embeddings": True, "spatial_filter_distance": 0.0,
+        "top_k": 2, "context_window": 3,
+        "icp_max_iterations": 5, "verification_max_points": 512})
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    assert pipe.retrieval.stage1_metric == "l2"
+    loader = SyntheticLoader(n_frames=60, seed=0, n_points=4096, loops=2.0)
+    edges = pipe.run_online(loader, loop_closure_interval=10)
+    # machinery runs end-to-end; revisit edges verified geometrically
+    for e in edges:
+        assert e["fitness"] >= cfg["retrieval"]["icp_fitness_threshold"]
+    # database rows are embeddings, not descriptors
+    assert pipe.retrieval.keyframes[0].embedding is not None

@@ -236,3 +236,38 @@ def test_database_save_load_roundtrip(tmp_path, rng):
     kf = r2.keyframes[7]
     assert kf.keyframe_id == 7 and kf.timestamp == 7.0
     np.testing.assert_allclose(kf.pose, r.keyframes[7].pose, atol=1e-5)
+
+
+def test_l2_metric_retriever(rng):
+    from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+    emb = rng.normal(0, 1, (50, 32)).astype(np.float32)  # signed vectors
+    r = WassersteinRetriever(n_bins=32, capacity=50, metric="l2")
+    r.add_to_database(emb)
+    idx, dist = r.query(emb[13], top_k=3)
+    assert idx[0] == 13 and dist[0] < 1e-5
+    # brute-force L2 agreement
+    d = np.linalg.norm(emb - emb[13], axis=1)
+    np.testing.assert_allclose(sorted(dist), np.sort(d)[:3], atol=1e-5)
+
+
+def test_update_rows_changes_results(rng):
+    from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+    emb = rng.normal(0, 1, (20, 16)).astype(np.float32)
+    r = WassersteinRetriever(n_bins=16, capacity=20, metric="l2")
+    r.add_to_database(emb)
+    q = rng.normal(0, 1, 16).astype(np.float32)
+    idx0, _ = r.query(q, top_k=1)
+    r.update_rows([7], q[None, :])     # make row 7 the exact query
+    idx1, dist1 = r.query(q, top_k=1)
+    assert idx1[0] == 7 and dist1[0] < 1e-5
+
+
+def test_exclude_last_temporal_window(rng):
+    from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+    h = rng.random((30, 20)).astype(np.float32)
+    h /= h.sum(1, keepdims=True)
+    r = WassersteinRetriever(n_bins=20, capacity=30)
+    r.add_to_database(h)
+    idx, _ = r.query(h[29], top_k=30, exclude_last=10)
+    assert idx.max() < 20           # last 10 rows excluded
+    assert len(idx) == 20
