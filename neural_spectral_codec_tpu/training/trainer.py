@@ -123,6 +123,16 @@ class GNNTrainer:
         self.epochs_without_improvement = 0
         self.train_losses: List[float] = []
         self.val_metrics: List[Dict] = []
+        # machine-readable per-epoch metrics stream (the reference carried
+        # wandb config keys but no logging implementation — SURVEY §5.5)
+        self.metrics_path = self.checkpoint_dir / "metrics.jsonl"
+
+    def _log_metrics(self, record: Dict) -> None:
+        import json
+        record = {"epoch": self.epoch, "global_step": self.global_step,
+                  "time": time.time(), **record}
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
@@ -225,9 +235,12 @@ class GNNTrainer:
             avg_loss = self.train_epoch(train_graph, triplet_miner,
                                         train_poses, train_descriptors,
                                         sequence_ids=train_sequence_ids)
+            self._log_metrics({"train_loss": avg_loss,
+                               "epoch_seconds": time.perf_counter() - t0})
             if val_graph is not None and val_poses is not None:
                 metrics = self.validate(val_graph, val_poses)
                 self.val_metrics.append(metrics)
+                self._log_metrics(dict(metrics))
                 logger.info("Epoch %d/%d | Loss %.4f | R@1 %.4f | %.1fs",
                             epoch + 1, n_epochs, avg_loss,
                             metrics["recall@1"], time.perf_counter() - t0)

@@ -234,3 +234,32 @@ def test_batch_triplet_miner_no_valid():
     emb = np.ones((3, 4), np.float32)
     a, p, n = BatchTripletMiner().mine_batch_triplets(emb, np.zeros(3))
     assert len(a) == 0  # all same label -> no negatives
+
+
+def test_metrics_jsonl_written(tmp_path):
+    import json
+    import jax
+    from neural_spectral_codec_tpu.keyframe.graph import build_graph
+    from neural_spectral_codec_tpu.models.gnn import SpectralGNN
+    from neural_spectral_codec_tpu.training.miner import create_triplet_miner
+    from neural_spectral_codec_tpu.training.trainer import GNNTrainer
+
+    rng = np.random.default_rng(0)
+    n = 40
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * 2.0
+    poses[20:, 0, 3] = poses[:20, 0, 3]
+    feats = rng.random((n, 32), dtype=np.float32)
+    graph = build_graph(feats, poses)
+    t = GNNTrainer(model=SpectralGNN(input_dim=32, hidden_dim=16,
+                                     output_dim=32),
+                   checkpoint_dir=str(tmp_path), triplets_per_step=64)
+    miner = create_triplet_miner(positive_temporal_min=5,
+                                 negative_temporal_min=5,
+                                 negative_distance_min=4.0)
+    t.train(graph, poses, feats, val_graph=graph, val_poses=poses,
+            n_epochs=2, triplet_miner=miner)
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert any("train_loss" in r for r in lines)
+    assert any("recall@1" in r for r in lines)
