@@ -79,7 +79,13 @@ class BatchEncoder:
             (0, self.config.output_dim), np.float32)
 
     def encode_one(self, cloud: np.ndarray) -> np.ndarray:
-        return self.encode([cloud])[0]
+        """Single-scan path with its own B=1 executable — the online loop
+        encodes one keyframe at a time and must not pay for a full
+        batch_size chunk of padding."""
+        import jax.numpy as jnp
+        batch = pad_points(cloud, self.max_points)[None]
+        d = encode_points_batch(jnp.asarray(batch), self.alpha, self.config)
+        return np.asarray(d)[0]
 
 
 class NeuralSpectralCodecPipeline:

@@ -6,8 +6,9 @@ the spatial filter as a Python loop over ALL keyframes and then queries the
 ENTIRE database (two_stage_retrieval.py:158-201). TPU-first redesign:
 
   * Preallocated (capacity, n_bins) CDF buffer + (capacity, 3) positions on
-    device; inserts write rows in place (``.at[].set``) — no reallocation,
-    no host↔device churn, fixed shapes for jit.
+    device; inserts are donated jitted updates, so XLA writes rows truly
+    in place — no reallocation, no 320 MB buffer copy per insert, no
+    host↔device churn, fixed shapes for jit.
   * One fused jitted query: W₁ from stored CDFs + validity mask + spatial
     exclusion (< min_distance from the query pose) folded into the distance
     vector as +inf, then a single ``lax.top_k``.
@@ -26,6 +27,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_rows(buf, rows, start):
+    """In-place row insertion: the buffer is DONATED so XLA updates it
+    without copying — a plain ``.at[sl].set`` would copy the whole
+    (capacity, n_bins) buffer (~320 MB at 100k×800) on every insert."""
+    return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_rows(buf, idx, rows):
+    return buf.at[idx].set(rows, mode="drop", unique_indices=True)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6))
@@ -118,11 +132,12 @@ class WassersteinRetriever:
         if self.database_size + n > self.capacity:
             raise ValueError(
                 f"Database capacity exceeded: {self.database_size}+{n} > {self.capacity}")
-        sl = slice(self.database_size, self.database_size + n)
-        self._db_cdf = self._db_cdf.at[sl].set(self._encode_rows(h))
+        start = jnp.int32(self.database_size)
+        self._db_cdf = _insert_rows(self._db_cdf, self._encode_rows(h), start)
         if positions is not None:
-            self._db_pos = self._db_pos.at[sl].set(
-                jnp.asarray(np.atleast_2d(positions), jnp.float32))
+            self._db_pos = _insert_rows(
+                self._db_pos,
+                jnp.asarray(np.atleast_2d(positions), jnp.float32), start)
         self.database_size += n
 
     def update_rows(self, indices: np.ndarray, vectors: np.ndarray) -> None:
@@ -134,8 +149,8 @@ class WassersteinRetriever:
         if idx.max() >= self.database_size:
             raise IndexError("update_rows beyond database size")
         v = jnp.asarray(np.atleast_2d(np.asarray(vectors, np.float32)))
-        self._db_cdf = self._db_cdf.at[jnp.asarray(idx)].set(
-            self._encode_rows(v))
+        self._db_cdf = _set_rows(self._db_cdf, jnp.asarray(idx),
+                                 self._encode_rows(v))
 
     def query(self, query_hist: np.ndarray, top_k: int = 10,
               query_position: Optional[np.ndarray] = None,

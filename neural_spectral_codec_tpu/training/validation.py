@@ -56,14 +56,37 @@ def _recall_kernel(embeddings, positions, queries, k: int,
 
 def recall_loop_closure(embeddings: np.ndarray, poses: np.ndarray, k: int = 1,
                         distance_threshold: float = 5.0,
-                        skip_frames: int = 30) -> Tuple[float, int]:
-    """Recall@K over revisit queries; returns (recall, n_queries)."""
+                        skip_frames: int = 30,
+                        query_chunk: int = 4096) -> Tuple[float, int]:
+    """Recall@K over revisit queries; returns (recall, n_queries).
+
+    Queries are processed in fixed-size chunks so the (Q, n) distance
+    matrix never exceeds ~chunk·n floats — at 100k keyframes the
+    unchunked matrix would be tens of GB (the blockwise pass SURVEY §5.7
+    calls the one place a ring-style schedule buys anything here)."""
     positions = poses[:, :3, 3].astype(np.float32)
     queries = find_revisit_queries(positions, distance_threshold, skip_frames)
-    if len(queries) == 0:
+    nq = len(queries)
+    if nq == 0:
         return 0.0, 0
-    r = _recall_kernel(jnp.asarray(embeddings, jnp.float32),
-                       jnp.asarray(positions),
-                       jnp.asarray(queries, jnp.int32),
-                       k, distance_threshold, skip_frames)
-    return float(r), len(queries)
+    emb = jnp.asarray(embeddings, jnp.float32)
+    pos = jnp.asarray(positions)
+    hits = 0.0
+    for s in range(0, nq, query_chunk):
+        chunk = queries[s:s + query_chunk]
+        pad = 0
+        if len(chunk) < query_chunk and nq > query_chunk:
+            # pad to the fixed chunk shape so one executable serves all
+            pad = query_chunk - len(chunk)
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        r = _recall_kernel(emb, pos, jnp.asarray(chunk, jnp.int32),
+                           k, distance_threshold, skip_frames)
+        # _recall_kernel returns the mean over its chunk; de-duplicate pad
+        total = float(r) * len(chunk)
+        if pad:
+            rlast = _recall_kernel(emb, pos,
+                                   jnp.asarray(chunk[-1:], jnp.int32),
+                                   k, distance_threshold, skip_frames)
+            total -= pad * float(rlast)
+        hits += total
+    return hits / nq, nq

@@ -263,3 +263,16 @@ def test_metrics_jsonl_written(tmp_path):
              (tmp_path / "metrics.jsonl").read_text().splitlines()]
     assert any("train_loss" in r for r in lines)
     assert any("recall@1" in r for r in lines)
+
+
+def test_recall_chunked_matches_unchunked(rng):
+    from neural_spectral_codec_tpu.training.validation import recall_loop_closure
+    n = 120
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * 3.0
+    poses[60:, 0, 3] = poses[:60, 0, 3]          # revisits
+    emb = rng.random((n, 16)).astype(np.float32)
+    r_big, q_big = recall_loop_closure(emb, poses, 5, query_chunk=4096)
+    r_small, q_small = recall_loop_closure(emb, poses, 5, query_chunk=7)
+    assert q_big == q_small > 0
+    np.testing.assert_allclose(r_big, r_small, atol=1e-6)

@@ -73,3 +73,21 @@ def test_unnormalized_inputs(rng):
     ref = oracle_wasserstein_batch(q, db)
     got = np.asarray(wasserstein_batch(jnp.asarray(q), jnp.asarray(db)))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_w1_metric_axioms(rng):
+    """W1 on normalized histograms is a metric: identity, symmetry,
+    triangle inequality (SURVEY §4 property-test strategy)."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.wasserstein import wasserstein_1d
+    h = rng.random((3, 64)).astype(np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    a, b, c = (jnp.asarray(x) for x in h)
+    dab = float(wasserstein_1d(a, b))
+    dba = float(wasserstein_1d(b, a))
+    dac = float(wasserstein_1d(a, c))
+    dcb = float(wasserstein_1d(c, b))
+    assert float(wasserstein_1d(a, a)) < 1e-6            # identity
+    assert abs(dab - dba) < 1e-5                         # symmetry
+    assert dab <= dac + dcb + 1e-5                       # triangle
+    assert dab > 0
