@@ -88,13 +88,20 @@ class ShardedWassersteinRetriever:
         if self.database_size + n > self.capacity:
             raise ValueError("Database capacity exceeded")
         cdf = histogram_cdf(h, self.epsilon)
-        sl = slice(self.database_size, self.database_size + n)
-        # .at[].set preserves the row sharding of the buffer
-        self._db_cdf = self._db_cdf.at[sl].set(cdf)
+        start = jnp.int32(self.database_size)
+        # donated jitted update: writes rows in place (preserving the row
+        # sharding) instead of copying the whole sharded buffer
+        self._db_cdf = self._insert(self._db_cdf, cdf, start)
         if positions is not None:
-            self._db_pos = self._db_pos.at[sl].set(
-                jnp.asarray(np.atleast_2d(positions), jnp.float32))
+            self._db_pos = self._insert(
+                self._db_pos,
+                jnp.asarray(np.atleast_2d(positions), jnp.float32), start)
         self.database_size += n
+
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _insert(buf, rows, start):
+        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
     def query(self, query_hist: np.ndarray, top_k: int = 10,
               query_position: Optional[np.ndarray] = None,

@@ -184,6 +184,14 @@ class GeometricVerifier:
         from neural_spectral_codec_tpu import native
         src = native.voxel_downsample(source_points, self.voxel_downsample)
         dst = native.voxel_downsample(target_points, self.voxel_downsample)
+        # same point budget as the JAX path (deterministic stride
+        # subsample) — bounds per-candidate ICP latency
+        if len(src) > self.max_points:
+            src = src[np.linspace(0, len(src) - 1,
+                                  self.max_points).astype(int)]
+        if len(dst) > self.max_points:
+            dst = dst[np.linspace(0, len(dst) - 1,
+                                  self.max_points).astype(int)]
         if len(src) < 6 or len(dst) < 6:
             info = {"fitness": 0.0, "rmse": float("inf"),
                     "information_matrix": self._information_matrix(0.0)}

@@ -72,7 +72,10 @@ def test_voxel_overlap_matches_numpy(rng):
 
 
 def test_verifier_native_backend_accepts_true_match(rng):
-    base = _cloud(rng, 6000, extent=30.0)
+    # stay under the verifier's max_points budget: these are uniform
+    # VOLUME clouds, whose nearest-neighbor spacing (hence ICP rmse)
+    # inflates under subsampling in a way real surface scans don't
+    base = _cloud(rng, 3500, extent=30.0)
     th = 0.03
     R = np.array([[np.cos(th), -np.sin(th), 0],
                   [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
