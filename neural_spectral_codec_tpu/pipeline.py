@@ -259,6 +259,9 @@ class NeuralSpectralCodecPipeline:
             mesh=mesh,
             shard_nodes=cfg_get(self.config, "parallel.shard_graph_nodes",
                                 False),
+            lr_decay_epochs=tr.get("lr_decay_epochs"),
+            lr_decay_factor=tr.get("lr_decay_factor", 0.1),
+            min_lr=tr.get("min_lr", 1e-6),
         )
         miner = create_triplet_miner(
             positive_distance_max=trip.get("positive_distance_max", 5.0),

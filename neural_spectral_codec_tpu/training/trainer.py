@@ -45,16 +45,29 @@ logger = logging.getLogger(__name__)
 
 
 def make_optimizer(learning_rate: float = 5e-4, weight_decay: float = 1e-5,
-                   grad_clip: Optional[float] = 1.0) -> optax.GradientTransformation:
+                   grad_clip: Optional[float] = 1.0,
+                   injectable_lr: bool = False) -> optax.GradientTransformation:
     """Adam with L2-in-gradient weight decay (torch ``Adam(weight_decay=)``
     semantics, NOT decoupled AdamW) and optional global-norm clipping
-    (configs/training.yaml:28)."""
-    parts = []
-    if grad_clip:
-        parts.append(optax.clip_by_global_norm(grad_clip))
-    parts.append(optax.add_decayed_weights(weight_decay))
-    parts.append(optax.adam(learning_rate))
-    return optax.chain(*parts)
+    (configs/training.yaml:28).
+
+    ``injectable_lr`` wraps the chain in ``optax.inject_hyperparams`` so
+    the learning rate lives in the optimizer STATE and can be decayed at
+    epoch boundaries without recompiling the train step — the step-decay
+    schedule the reference configures (training.yaml:16-19) but never
+    implements."""
+
+    def build(learning_rate):
+        parts = []
+        if grad_clip:
+            parts.append(optax.clip_by_global_norm(grad_clip))
+        parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.adam(learning_rate))
+        return optax.chain(*parts)
+
+    if injectable_lr:
+        return optax.inject_hyperparams(build)(learning_rate=learning_rate)
+    return build(learning_rate)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "optimizer"))
@@ -84,15 +97,28 @@ class GNNTrainer:
                  margin: float = 0.1, grad_clip: Optional[float] = 1.0,
                  checkpoint_dir: str = "checkpoints", log_interval: int = 10,
                  patience: int = 10, triplets_per_step: int = 4096,
-                 seed: int = 0, mesh=None, shard_nodes: bool = False):
+                 seed: int = 0, mesh=None, shard_nodes: bool = False,
+                 lr_decay_epochs: Optional[List[int]] = None,
+                 lr_decay_factor: float = 0.1, min_lr: float = 1e-6):
         """``mesh``: a ``jax.sharding.Mesh`` enables SPMD training — the
         triplet batch is sharded over the mesh's ``data`` axis (gradient
         psum inserted by the partitioner) and, with ``shard_nodes``, the
         keyframe-graph node axis too. Replaces the reference's
-        ``nn.DataParallel`` (trainer.py:106-108)."""
+        ``nn.DataParallel`` (trainer.py:106-108).
+
+        ``lr_decay_epochs``: epochs at which lr ×= ``lr_decay_factor``
+        (floored at ``min_lr``) — the step schedule of
+        configs/training.yaml, which the reference declared but never
+        wired up."""
         self.model = model or SpectralGNN()
         self.margin = margin
-        self.optimizer = make_optimizer(learning_rate, weight_decay, grad_clip)
+        self.lr_decay_epochs = set(lr_decay_epochs or [])
+        self.lr_decay_factor = lr_decay_factor
+        self.min_lr = min_lr
+        self.current_lr = learning_rate
+        self.optimizer = make_optimizer(
+            learning_rate, weight_decay, grad_clip,
+            injectable_lr=bool(self.lr_decay_epochs))
         self._rng = jax.random.key(seed)
         self.params, self.batch_stats = init_gnn(self.model, self._next_rng())
         self.opt_state = self.optimizer.init(self.params)
@@ -231,11 +257,18 @@ class GNNTrainer:
         t_start = time.perf_counter()
         for epoch in range(n_epochs):
             self.epoch = epoch
+            if epoch in self.lr_decay_epochs:
+                self.current_lr = max(self.current_lr * self.lr_decay_factor,
+                                      self.min_lr)
+                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    self.current_lr, jnp.float32)
+                logger.info("Epoch %d: learning rate -> %.2e", epoch + 1,
+                            self.current_lr)
             t0 = time.perf_counter()
             avg_loss = self.train_epoch(train_graph, triplet_miner,
                                         train_poses, train_descriptors,
                                         sequence_ids=train_sequence_ids)
-            self._log_metrics({"train_loss": avg_loss,
+            self._log_metrics({"train_loss": avg_loss, "lr": self.current_lr,
                                "epoch_seconds": time.perf_counter() - t0})
             if val_graph is not None and val_poses is not None:
                 metrics = self.validate(val_graph, val_poses)

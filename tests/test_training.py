@@ -276,3 +276,36 @@ def test_recall_chunked_matches_unchunked(rng):
     r_small, q_small = recall_loop_closure(emb, poses, 5, query_chunk=7)
     assert q_big == q_small > 0
     np.testing.assert_allclose(r_big, r_small, atol=1e-6)
+
+
+def test_lr_step_decay(tmp_path):
+    import json
+    from neural_spectral_codec_tpu.keyframe.graph import build_graph
+    from neural_spectral_codec_tpu.models.gnn import SpectralGNN
+    from neural_spectral_codec_tpu.training.miner import create_triplet_miner
+    from neural_spectral_codec_tpu.training.trainer import GNNTrainer
+
+    rng = np.random.default_rng(0)
+    n = 40
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * 2.0
+    poses[20:, 0, 3] = poses[:20, 0, 3]
+    feats = rng.random((n, 32), dtype=np.float32)
+    graph = build_graph(feats, poses)
+    t = GNNTrainer(model=SpectralGNN(input_dim=32, hidden_dim=16,
+                                     output_dim=32),
+                   learning_rate=1e-3, checkpoint_dir=str(tmp_path),
+                   triplets_per_step=64, lr_decay_epochs=[1],
+                   lr_decay_factor=0.1)
+    miner = create_triplet_miner(positive_temporal_min=5,
+                                 negative_temporal_min=5,
+                                 negative_distance_min=4.0)
+    t.train(graph, poses, feats, n_epochs=2, triplet_miner=miner)
+    assert abs(t.current_lr - 1e-4) < 1e-9
+    np.testing.assert_allclose(
+        float(t.opt_state.hyperparams["learning_rate"]), t.current_lr,
+        rtol=1e-6)
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    lrs = [r["lr"] for r in lines if "lr" in r]
+    assert lrs[0] == 1e-3 and abs(lrs[-1] - 1e-4) < 1e-9
