@@ -268,6 +268,8 @@ class NeuralSpectralCodecPipeline:
             negative_distance_min=trip.get("negative_distance_min", 10.0),
             negative_distance_max=trip.get("negative_distance_max", 50.0),
             positive_temporal_min=trip.get("positive_temporal_min", 30),
+            negative_temporal_min=trip.get(
+                "negative_temporal_min", trip.get("positive_temporal_min", 30)),
             mining_strategy=trip.get("mining_strategy", "hard"),
         )
         if resume:

@@ -181,6 +181,9 @@ class GNNTrainer:
             sequence_ids=sequence_ids)
         if len(triplets) == 0:
             logger.warning("No valid triplets mined!")
+            # record the epoch anyway: checkpoints serialize the loss
+            # history and orbax rejects zero-size arrays
+            self.train_losses.append(0.0)
             return 0.0
         logger.info("Mined %d triplets in %.2fs", len(triplets),
                     time.perf_counter() - t0)

@@ -157,3 +157,54 @@ def test_online_with_embedding_retrieval(tmp_path):
         assert e["fitness"] >= cfg["retrieval"]["icp_fitness_threshold"]
     # database rows are embeddings, not descriptors
     assert pipe.retrieval.keyframes[0].embedding is not None
+
+
+def _make_kitti_world(root, seq, n_frames=60, seed=0):
+    """Fake KITTI tree whose scans come from the synthetic world (so
+    revisits are real): sequences/<seq>/velodyne/*.bin + poses.txt."""
+    from neural_spectral_codec_tpu.data.synthetic import (
+        SyntheticWorld, loop_trajectory)
+    d = root / "sequences" / seq / "velodyne"
+    d.mkdir(parents=True)
+    world = SyntheticWorld(seed=seed)
+    poses = loop_trajectory(n_frames, radius=80.0, loops=2.0)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i, T in enumerate(poses):
+        pts = world.scan(T, n_points=4096, rng=rng)
+        pts.astype(np.float32).tofile(d / f"{i:06d}.bin")
+        rows.append(" ".join(str(v) for v in T[:3].reshape(-1)))
+    (root / "sequences" / seq / "poses.txt").write_text("\n".join(rows))
+
+
+def test_train_cli_through_real_kitti_loader(tmp_path):
+    """End-to-end through the REAL dataset path: on-disk KITTI-format
+    files -> config data.datasets -> _loaders_from_config -> KITTILoader
+    -> pipeline training. (All other CLI tests use --synthetic.)"""
+    import yaml
+    root = tmp_path / "kitti"
+    _make_kitti_world(root, "00", n_frames=50)
+    _make_kitti_world(root, "09", n_frames=30, seed=1)
+
+    cfg = small_config(tmp_path)
+    cfg["training"]["n_epochs"] = 1
+    # keyframes on this loop sit ~9.4 m apart, so revisits are ~25
+    # keyframes away and the 10-80 m negative ring spans ~1-9 keyframes:
+    # default 30-frame temporal gaps would mine nothing
+    cfg["triplet"].update({"positive_temporal_min": 8,
+                           "negative_temporal_min": 8,
+                           "negative_distance_max": 80.0})
+    cfg["data"] = {"datasets": {
+        "train": [{"type": "kitti", "root": str(root), "sequences": ["00"]}],
+        "val": [{"type": "kitti", "root": str(root), "sequences": ["09"]}],
+    }}
+    cfg_file = tmp_path / "kitti_cfg.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    import train_multi_dataset
+    trainer = train_multi_dataset.main([
+        "--config", str(cfg_file),
+        "--checkpoint-dir", str(tmp_path / "kitti_ckpt"),
+    ])
+    assert (tmp_path / "kitti_ckpt" / "final_model").exists()
+    assert len(trainer.train_losses) == 1
