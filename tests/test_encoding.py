@@ -285,3 +285,50 @@ def test_monotone_expand_random(rng):
         ref = np.zeros(M)
         ref[tgts] = np.arange(1, n_flag + 1)
         np.testing.assert_array_equal(np.asarray(out)[0], ref)
+
+
+def test_encoder_config_fuzz_vs_oracle(rng):
+    """Randomized config sweep: the full device pipeline must match the
+    numpy oracle for arbitrary (n_elev, n_azim, bins, ranges, alpha) —
+    catches config-dependent packing/pooling/binning bugs."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    from neural_spectral_codec_tpu.ops.spectral import (
+        SpectralEncoderConfig, encode_points_batch)
+    from tests.oracle import (oracle_encode_range_image, oracle_interpolate,
+                              oracle_project)
+
+    for trial in range(8):
+        n_elev = int(rng.choice([8, 16, 32, 64, 96]))
+        n_azim = int(rng.choice([60, 90, 180, 360, 720]))
+        n_bins = int(rng.integers(5, 80))
+        target = int(rng.choice([4, 8, 16]))
+        alpha = float(rng.uniform(0.3, 6.0))
+        elev = (float(rng.uniform(-40, -5)), float(rng.uniform(1, 20)))
+        max_r = float(rng.uniform(40, 120))
+        cfg = SpectralEncoderConfig(
+            n_elevation=n_elev, n_azimuth=n_azim, n_bins=n_bins,
+            target_elevation_bins=target, alpha=alpha,
+            elevation_range_deg=elev, max_range=max_r, min_range=1.0)
+
+        n_pts = int(rng.integers(2000, 9000))
+        az = rng.uniform(-np.pi, np.pi, n_pts)
+        el = rng.uniform(np.deg2rad(elev[0]), np.deg2rad(elev[1]), n_pts)
+        r = rng.uniform(0.5, max_r * 0.9, n_pts)
+        pts = np.stack([r * np.cos(el) * np.cos(az),
+                        r * np.cos(el) * np.sin(az),
+                        r * np.sin(el),
+                        rng.uniform(0, 1, n_pts)], 1).astype(np.float32)
+
+        got = np.asarray(encode_points_batch(
+            jnp.asarray(pad_points(pts, 10240))[None],
+            jnp.float32(alpha), cfg))[0]
+        img = oracle_project(pts, n_elev=n_elev, n_azim=n_azim,
+                             elev_deg=elev, min_range=1.0, max_range=max_r)
+        want = oracle_encode_range_image(
+            oracle_interpolate(img), target=target, n_bins=n_bins,
+            alpha=alpha)
+        np.testing.assert_allclose(
+            got, want, atol=1e-6,
+            err_msg=f"config: E{n_elev} A{n_azim} B{n_bins} T{target} "
+                    f"a{alpha:.2f} elev{elev} R{max_r:.0f}")
