@@ -1,0 +1,154 @@
+"""DIRECT numerical parity against the actual reference implementation.
+
+The reference's torch/numpy modules (the ones that don't need PyG/Open3D)
+are imported from /root/reference and executed side by side with this
+framework — a stronger check than the hand-written numpy oracle. Skipped
+cleanly when the reference checkout isn't mounted.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_REF = Path("/root/reference/src")
+pytestmark = pytest.mark.skipif(not _REF.exists(),
+                                reason="reference checkout not mounted")
+if _REF.exists():
+    sys.path.insert(0, str(_REF))
+
+
+def _scan(rng, n=12000, elev_deg=(-24.8, 2.0), max_r=70.0):
+    az = rng.uniform(-np.pi, np.pi, n)
+    el = rng.uniform(np.deg2rad(elev_deg[0]), np.deg2rad(elev_deg[1]), n)
+    r = rng.uniform(0.5, max_r, n)
+    return np.stack([r * np.cos(el) * np.cos(az),
+                     r * np.cos(el) * np.sin(az),
+                     r * np.sin(el), rng.uniform(0, 1, n)], 1).astype(np.float32)
+
+
+def test_projection_matches_reference(rng):
+    from encoding.range_image import RangeImageProjector
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        ProjectionConfig, project_points)
+
+    pts = _scan(rng)
+    ref_proj = RangeImageProjector(n_elevation=64, n_azimuth=360)
+    ref_img, _ = ref_proj.project(pts, keep_intensity=False)
+    got = np.asarray(project_points(jnp.asarray(pts), ProjectionConfig()))
+    np.testing.assert_allclose(got, ref_img, atol=1e-5)
+
+
+def test_interpolation_matches_reference(rng):
+    from encoding.range_image import interpolate_range_image as ref_interp
+    import jax
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        interpolate_range_image)
+
+    img = rng.uniform(0, 80, (64, 360)).astype(np.float32)
+    img[img < 20] = 0.0
+    img[10:13] = 0.0  # empty rows
+    ref = ref_interp(img.copy())
+    got = np.asarray(jax.jit(interpolate_range_image)(jnp.asarray(img)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_descriptor_matches_reference_torch_encoder(rng):
+    """Flagship parity: the reference's actual nn.Module encoder
+    (projection → interpolation → rFFT → binning → normalize) vs our
+    full device pipeline, end to end from raw points."""
+    import torch
+    from encoding.spectral_encoder import SpectralEncoder as RefEncoder
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    from neural_spectral_codec_tpu.ops.spectral import (
+        SpectralEncoderConfig, encode_points_batch)
+
+    ref = RefEncoder(n_elevation=64, n_azimuth=360, n_bins=50,
+                     target_elevation_bins=16)
+    ref.eval()
+    cfg = SpectralEncoderConfig()
+    for trial in range(3):
+        pts = _scan(rng)
+        with torch.no_grad():
+            want = ref.encode_points(pts)
+        want = np.asarray(want.detach().cpu() if hasattr(want, "cpu")
+                          else want)
+        got = np.asarray(encode_points_batch(
+            jnp.asarray(pad_points(pts, 16384))[None], jnp.float32(2.0),
+            cfg))[0]
+        np.testing.assert_allclose(got, want.reshape(-1), atol=1e-5)
+
+
+def test_quantization_matches_reference(rng):
+    from encoding.quantization import HistogramQuantizer
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.quantization import dequantize, quantize
+
+    h = rng.random(800).astype(np.float32)
+    h /= h.sum()
+    ref_q = HistogramQuantizer(n_bins=800)
+    want_q = ref_q.quantize(h)
+    got_q = np.asarray(quantize(jnp.asarray(h)))
+    np.testing.assert_array_equal(got_q, want_q)
+    np.testing.assert_allclose(np.asarray(dequantize(jnp.asarray(got_q))),
+                               ref_q.dequantize(want_q), atol=1e-7)
+
+
+def test_wasserstein_matches_reference(rng):
+    from retrieval.wasserstein import wasserstein_distance_1d_numpy as ref_w1
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.wasserstein import wasserstein_1d
+
+    a = rng.random(50).astype(np.float32)
+    b = rng.random(50).astype(np.float32)
+    np.testing.assert_allclose(
+        float(wasserstein_1d(jnp.asarray(a), jnp.asarray(b))),
+        ref_w1(a, b), rtol=1e-5)
+
+
+def test_triplet_loss_matches_reference_formula(rng):
+    # gnn.trainer imports torch_geometric at module scope (unavailable
+    # here), so the reference loss formula (trainer.py:27-68:
+    # mean(relu(||a-p||^2 - ||a-n||^2 + margin))) is evaluated in torch
+    # directly instead of importing the class
+    import torch
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.training.loss import triplet_loss
+
+    a = rng.normal(0, 1, (32, 800)).astype(np.float32)
+    p = a + rng.normal(0, 0.1, a.shape).astype(np.float32)
+    n = rng.normal(0, 1, a.shape).astype(np.float32)
+    ta, tp_, tn = map(torch.from_numpy, (a, p, n))
+    want = float(torch.clamp(((ta - tp_) ** 2).sum(1)
+                             - ((ta - tn) ** 2).sum(1) + 0.1, min=0).mean())
+    got = float(triplet_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n),
+                             margin=0.1))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_keyframe_criteria_match_reference(rng):
+    from keyframe.criteria import KeyframeSelectionCriteria as RefCriteria
+    from neural_spectral_codec_tpu.keyframe.criteria import (
+        KeyframeSelectionCriteria)
+
+    ref = RefCriteria()
+    ours = KeyframeSelectionCriteria()
+    for _ in range(20):
+        T1, T2 = np.eye(4), np.eye(4)
+        T1[:3, 3] = rng.uniform(-5, 5, 3)
+        T2[:3, 3] = T1[:3, 3] + rng.uniform(-1.2, 1.2, 3)
+        th = rng.uniform(-0.6, 0.6)
+        T2[:3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                               [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        ts1, ts2 = 0.0, float(rng.uniform(0, 12))
+        ref_sel, _ = ref.check_distance(T2, T1)
+        got_sel, _ = ours.check_distance(T2, T1)
+        assert ref_sel == got_sel
+        ref_rot, rv = ref.check_rotation(T2, T1)
+        got_rot, gv = ours.check_rotation(T2, T1)
+        assert ref_rot == got_rot and abs(rv - gv) < 1e-6
+        assert ref.check_temporal(ts2, ts1)[0] == ours.check_temporal(ts2, ts1)[0]
