@@ -319,14 +319,26 @@ class NeuralSpectralCodecPipeline:
     def run_online(self, loader, checkpoint_path: Optional[str] = None,
                    loop_closure_interval: int = 10,
                    output_g2o: Optional[str] = None,
-                   database_path: Optional[str] = None) -> List[Dict]:
+                   database_path: Optional[str] = None,
+                   resume_database: bool = False) -> List[Dict]:
         """Streaming loop closing (reference pipeline.py:200-282).
 
         Honors the config's ``monitoring`` block (per-stage timing log
         every N scans + max-latency warnings — the reference configured
         this and never implemented it) and optionally persists the
-        descriptor database to ``database_path`` at the end."""
+        descriptor database to ``database_path`` at the end. With
+        ``resume_database`` an existing record store at that path is
+        loaded first, so a mapping session continues against the previous
+        session's places (loaded entries serve stage-1 retrieval; they
+        carry no raw points, so candidate pairs against them surface
+        unverified)."""
         import jax
+        db_base = 0
+        if (resume_database and database_path
+                and Path(database_path).exists()):
+            db_base = self.retrieval.load_database(database_path)
+            logger.info("Resumed descriptor database: %d records from %s",
+                        db_base, database_path)
         mon = self.config.get("monitoring", {})
         mon_enabled = mon.get("enabled", False)
         mon_interval = mon.get("log_interval", 100)
@@ -370,9 +382,10 @@ class NeuralSpectralCodecPipeline:
                 self.retrieval.add_keyframe(kf)
                 if self.use_embeddings_for_retrieval and refreshed_nodes:
                     # keep already-inserted rows in sync with the GNN's
-                    # refreshed embeddings (db row index == keyframe_id)
+                    # refreshed embeddings (db row = preloaded records +
+                    # this session's keyframe_id)
                     self.retrieval.refresh_keyframes([
-                        self.graph_manager.keyframes[i].keyframe_id
+                        db_base + self.graph_manager.keyframes[i].keyframe_id
                         for i in refreshed_nodes])
 
             if len(self.selector.keyframes) % loop_closure_interval == 0:

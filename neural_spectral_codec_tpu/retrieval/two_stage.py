@@ -121,6 +121,12 @@ class TwoStageRetrieval:
         verified = []
         for cand in candidates:
             kf = self.keyframes[cand.database_idx]
+            if query_points is None or kf.points is None:
+                # keyframes restored from the record store carry only the
+                # cloud hash — stage-1 candidates survive unverified
+                cand.verified = False
+                cand.fitness, cand.rmse = 0.0, float("inf")
+                continue
             ok, T, info = self.verifier.verify(query_points, kf.points)
             cand.verified = ok
             cand.transform = T

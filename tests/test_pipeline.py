@@ -208,3 +208,36 @@ def test_train_cli_through_real_kitti_loader(tmp_path):
     ])
     assert (tmp_path / "kitti_ckpt" / "final_model").exists()
     assert len(trainer.train_losses) == 1
+
+
+def test_online_resume_database_across_sessions(tmp_path):
+    """Two mapping sessions over the same world: session 2 resumes
+    session 1's persisted descriptor database and retrieves session-1
+    places (stage 1; loaded entries carry no points so those candidate
+    pairs surface unverified rather than crashing)."""
+    cfg = small_config(tmp_path, retrieval={
+        "spatial_filter_distance": 0.0, "top_k": 3,
+        "icp_max_iterations": 5, "verification_max_points": 4096})
+    db = tmp_path / "map.bin"
+
+    pipe1 = NeuralSpectralCodecPipeline(cfg)
+    pipe1.run_online(SyntheticLoader(n_frames=40, seed=0, n_points=4096,
+                                     loops=1.0),
+                     loop_closure_interval=10, database_path=str(db))
+    n1 = len(pipe1.selector.keyframes)
+    assert db.exists() and n1 > 0
+
+    pipe2 = NeuralSpectralCodecPipeline(small_config(tmp_path, retrieval={
+        "spatial_filter_distance": 0.0, "top_k": 3,
+        "icp_max_iterations": 5, "verification_max_points": 4096}))
+    pipe2.run_online(SyntheticLoader(n_frames=30, seed=0, n_points=4096,
+                                     loops=1.0),
+                     loop_closure_interval=10, database_path=str(db),
+                     resume_database=True)
+    # database grew: previous session's records + this session's keyframes
+    assert pipe2.retrieval.retriever.database_size == \
+        n1 + len(pipe2.selector.keyframes)
+    # stage-1 query against a loaded (point-free) keyframe must not crash
+    kf = pipe2.selector.keyframes[-1]
+    cands = pipe2.retrieval.query(kf, verify=True)
+    assert isinstance(cands, list)
