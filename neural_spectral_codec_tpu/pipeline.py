@@ -166,6 +166,8 @@ class NeuralSpectralCodecPipeline:
             voxel_downsample=r.get("voxel_downsample", 0.3),
             verification_max_points=r.get("verification_max_points", 4096),
             verification_backend=r.get("verification_backend", "auto"),
+            parallel_verification=r.get("parallel_verification", False),
+            verification_workers=r.get("verification_workers", 4),
         )
 
     # ------------------------------------------------------------------

@@ -40,7 +40,9 @@ class TwoStageRetrieval:
                  icp_max_iterations: int = 30, voxel_downsample: float = 0.3,
                  verification_max_points: int = 4096,
                  verification_backend: str = "auto",
-                 stage1_metric: str = "wasserstein"):
+                 stage1_metric: str = "wasserstein",
+                 parallel_verification: bool = False,
+                 verification_workers: int = 4):
         self.top_k = top_k
         self.spatial_filter_distance = spatial_filter_distance
         self.context_window = context_window
@@ -57,6 +59,12 @@ class TwoStageRetrieval:
             max_points=verification_max_points,
             backend=verification_backend,
         )
+        # real concurrent verification (reference inference.yaml:57's
+        # parallel_verification flag was a no-op): ctypes releases the
+        # GIL around the native ICP, so threads run on host cores
+        self.parallel_verification = (parallel_verification
+                                      and self.verifier.backend == "native")
+        self.verification_workers = verification_workers
         self.keyframes: List[Keyframe] = []
 
     def _stage1_vector(self, keyframe: Keyframe) -> np.ndarray:
@@ -118,16 +126,25 @@ class TwoStageRetrieval:
     def _geometric_verification(self, query_points: np.ndarray,
                                 candidates: List[LoopClosureCandidate]
                                 ) -> List[LoopClosureCandidate]:
-        verified = []
-        for cand in candidates:
+        def run_one(cand):
             kf = self.keyframes[cand.database_idx]
             if query_points is None or kf.points is None:
                 # keyframes restored from the record store carry only the
                 # cloud hash — stage-1 candidates survive unverified
-                cand.verified = False
-                cand.fitness, cand.rmse = 0.0, float("inf")
-                continue
-            ok, T, info = self.verifier.verify(query_points, kf.points)
+                return False, None, {"fitness": 0.0, "rmse": float("inf"),
+                                     "information_matrix": None}
+            return self.verifier.verify(query_points, kf.points)
+
+        if self.parallel_verification and len(candidates) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=self.verification_workers) as pool:
+                results = list(pool.map(run_one, candidates))
+        else:
+            results = [run_one(c) for c in candidates]
+
+        verified = []
+        for cand, (ok, T, info) in zip(candidates, results):
             cand.verified = ok
             cand.transform = T
             cand.fitness = info["fitness"]

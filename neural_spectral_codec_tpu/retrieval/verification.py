@@ -261,10 +261,20 @@ def verify_loop_closure(source_points, target_points, method: str = "gicp",
 def batch_verify_candidates(query_points, candidate_points_list,
                             method: str = "gicp",
                             fitness_threshold: float = 0.3,
-                            rmse_threshold: float = 0.5) -> list:
-    """Verify many candidates (reference :237-271). Each verify is one jit
-    call with shared shapes, so candidates pipeline on device back-to-back
-    (the reference's ``parallel`` flag was a no-op)."""
+                            rmse_threshold: float = 0.5,
+                            parallel: bool = False,
+                            max_workers: int = 4) -> list:
+    """Verify many candidates (reference :237-271).
+
+    ``parallel`` actually works here (the reference's flag was a no-op):
+    the native C++ ICP releases the GIL through ctypes, so a thread pool
+    verifies candidates concurrently on host cores. Results keep the
+    input order."""
     v = GeometricVerifier(method=method, fitness_threshold=fitness_threshold,
                           rmse_threshold=rmse_threshold)
+    if parallel and v.backend == "native" and len(candidate_points_list) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return list(pool.map(lambda c: v.verify(query_points, c),
+                                 candidate_points_list))
     return [v.verify(query_points, c) for c in candidate_points_list]

@@ -98,3 +98,43 @@ def test_verifier_backends_agree_on_decision(rng):
                               max_iterations=20, max_points=2048)
         ok, _, info = v.verify(src, base)
         assert ok, f"{backend} rejected an easy match: {info}"
+
+
+def test_parallel_verification_matches_serial(rng):
+    """Thread-pool verification (ctypes releases the GIL) must give the
+    same decisions and stats as serial, and actually run faster on
+    multiple candidates."""
+    import time
+    from neural_spectral_codec_tpu.keyframe.selector import Keyframe
+    from neural_spectral_codec_tpu.retrieval.two_stage import TwoStageRetrieval
+
+    base = _cloud(rng, 3000)
+    kfs = []
+    h = rng.random((6, 20)).astype(np.float32)
+    h /= h.sum(1, keepdims=True)
+    for i in range(6):
+        shift = np.array([0.2 * i, 0.1, 0.0], np.float32)
+        kfs.append(Keyframe(keyframe_id=i, scan_id=i,
+                            points=base + shift, pose=np.eye(4),
+                            timestamp=float(i), descriptor=h[i]))
+
+    def run(parallel):
+        r = TwoStageRetrieval(n_bins=20, capacity=10, top_k=6,
+                              spatial_filter_distance=0.0, context_window=0,
+                              icp_max_iterations=15,
+                              parallel_verification=parallel)
+        for kf in kfs:
+            r.add_keyframe(kf)
+        from neural_spectral_codec_tpu.retrieval.two_stage import (
+            LoopClosureCandidate)
+        cands = [LoopClosureCandidate(i, 0.0) for i in range(6)]
+        t0 = time.perf_counter()
+        out = r._geometric_verification(base, cands)
+        return out, time.perf_counter() - t0
+
+    serial, t_ser = run(False)
+    par, t_par = run(True)
+    assert len(serial) == len(par)
+    for a, b in zip(serial, par):
+        assert a.database_idx == b.database_idx
+        np.testing.assert_allclose(a.fitness, b.fitness, rtol=1e-5)
