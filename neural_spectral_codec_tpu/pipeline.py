@@ -264,6 +264,7 @@ class NeuralSpectralCodecPipeline:
             lr_decay_epochs=tr.get("lr_decay_epochs"),
             lr_decay_factor=tr.get("lr_decay_factor", 0.1),
             min_lr=tr.get("min_lr", 1e-6),
+            normalize_embeddings=tr.get("normalize_embeddings", False),
         )
         miner = create_triplet_miner(
             positive_distance_max=trip.get("positive_distance_max", 5.0),

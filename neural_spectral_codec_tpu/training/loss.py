@@ -13,9 +13,23 @@ from typing import Optional
 import jax.numpy as jnp
 
 
+def l2_normalize(x: jnp.ndarray, epsilon: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                           epsilon)
+
+
 def triplet_loss(anchors: jnp.ndarray, positives: jnp.ndarray,
                  negatives: jnp.ndarray, margin: float = 0.1,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 normalize: bool = False) -> jnp.ndarray:
+    """``normalize`` applies L2 normalization to the embeddings before the
+    squared-distance margin — the standard metric-learning variant (NOT in
+    the reference, off by default); retrieval/validation must then rank by
+    distance between normalized embeddings too."""
+    if normalize:
+        anchors = l2_normalize(anchors)
+        positives = l2_normalize(positives)
+        negatives = l2_normalize(negatives)
     pos_d = jnp.sum((anchors - positives) ** 2, axis=1)
     neg_d = jnp.sum((anchors - negatives) ** 2, axis=1)
     per = jnp.maximum(pos_d - neg_d + margin, 0.0)

@@ -70,10 +70,12 @@ def make_optimizer(learning_rate: float = 5e-4, weight_decay: float = 1e-5,
     return build(learning_rate)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "optimizer"))
+@functools.partial(jax.jit,
+                   static_argnames=("model", "optimizer", "normalize"))
 def train_step(model: SpectralGNN, optimizer, params, batch_stats, opt_state,
                features, neighbors, mask, edge_feats,
-               anchor_idx, pos_idx, neg_idx, triplet_mask, margin, rng):
+               anchor_idx, pos_idx, neg_idx, triplet_mask, margin, rng,
+               normalize: bool = False):
     """One optimizer step: full-graph forward + masked triplet loss."""
 
     def loss_fn(p):
@@ -82,7 +84,8 @@ def train_step(model: SpectralGNN, optimizer, params, batch_stats, opt_state,
             features, neighbors, mask, edge_feats, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
         loss = triplet_loss(emb[anchor_idx], emb[pos_idx], emb[neg_idx],
-                            margin=margin, mask=triplet_mask)
+                            margin=margin, mask=triplet_mask,
+                            normalize=normalize)
         return loss, updates["batch_stats"]
 
     (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -99,7 +102,8 @@ class GNNTrainer:
                  patience: int = 10, triplets_per_step: int = 4096,
                  seed: int = 0, mesh=None, shard_nodes: bool = False,
                  lr_decay_epochs: Optional[List[int]] = None,
-                 lr_decay_factor: float = 0.1, min_lr: float = 1e-6):
+                 lr_decay_factor: float = 0.1, min_lr: float = 1e-6,
+                 normalize_embeddings: bool = False):
         """``mesh``: a ``jax.sharding.Mesh`` enables SPMD training — the
         triplet batch is sharded over the mesh's ``data`` axis (gradient
         psum inserted by the partitioner) and, with ``shard_nodes``, the
@@ -112,6 +116,8 @@ class GNNTrainer:
         wired up."""
         self.model = model or SpectralGNN()
         self.margin = margin
+        # L2-normalized metric learning (off by default: reference parity)
+        self.normalize_embeddings = normalize_embeddings
         self.lr_decay_epochs = set(lr_decay_epochs or [])
         self.lr_decay_factor = lr_decay_factor
         self.min_lr = min_lr
@@ -201,8 +207,12 @@ class GNNTrainer:
             triplets = np.concatenate([triplets, np.zeros((pad, 3), np.int64)])
             tmask = np.concatenate([tmask, np.zeros(pad, bool)])
 
-        step_fn = self._sharded_step if self.mesh is not None else \
-            functools.partial(train_step, self.model, self.optimizer)
+        if self.mesh is not None:
+            step_fn = self._sharded_step
+        else:
+            step_fn = functools.partial(train_step, self.model,
+                                        self.optimizer,
+                                        normalize=self.normalize_embeddings)
         losses = []
         for s in range(n_steps):
             sl = slice(s * B, (s + 1) * B)
@@ -226,8 +236,12 @@ class GNNTrainer:
 
     def embed(self, graph: KeyframeGraph) -> np.ndarray:
         from neural_spectral_codec_tpu.models.gnn import gnn_forward
-        return np.asarray(gnn_forward(self.model, self.params,
-                                      self.batch_stats, graph))
+        emb = np.asarray(gnn_forward(self.model, self.params,
+                                     self.batch_stats, graph))
+        if self.normalize_embeddings:
+            emb = emb / np.maximum(
+                np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb
 
     def validate(self, val_graph: KeyframeGraph, val_poses: np.ndarray,
                  distance_threshold: float = 5.0,

@@ -309,3 +309,23 @@ def test_lr_step_decay(tmp_path):
              (tmp_path / "metrics.jsonl").read_text().splitlines()]
     lrs = [r["lr"] for r in lines if "lr" in r]
     assert lrs[0] == 1e-3 and abs(lrs[-1] - 1e-4) < 1e-9
+
+
+def test_normalized_triplet_loss():
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.training.loss import l2_normalize, triplet_loss
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 3, (8, 16)).astype(np.float32)
+    p = rng.normal(0, 3, (8, 16)).astype(np.float32)
+    n = rng.normal(0, 3, (8, 16)).astype(np.float32)
+    got = float(triplet_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n),
+                             margin=0.5, normalize=True))
+    an, pn, nn_ = (np.asarray(l2_normalize(jnp.asarray(x)))
+                   for x in (a, p, n))
+    want = np.maximum(((an - pn) ** 2).sum(1) - ((an - nn_) ** 2).sum(1)
+                      + 0.5, 0).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # normalized squared distances are bounded by 4
+    big = float(triplet_loss(jnp.asarray(a * 100), jnp.asarray(p),
+                             jnp.asarray(n), margin=0.0, normalize=True))
+    assert big <= 4.0
