@@ -157,6 +157,18 @@ def run_benchmark(loaders: Sequence, config: Dict,
         "distance_threshold": val_cfg.get("recall_distance_threshold", 5.0),
         "skip_frames": val_cfg.get("skip_frames", 30),
     }}
+
+    quality = config.get("quality", {})
+    if quality.get("check_rotation_invariance", False) and loaders:
+        frame = loaders[0][0]
+        inv = rotation_invariance_check(
+            np.nan_to_num(frame["points"]), pipe.encoder_config,
+            alpha=pipe.encoder_config.alpha,
+            max_points=pipe.encoder.max_points)
+        threshold = quality.get("rotation_invariance_threshold", 1e-3)
+        inv["passed"] = bool(inv["max_difference"] < threshold)
+        results["rotation_invariance"] = inv
+        logger.info("Rotation invariance: %s", inv)
     for i, loader in enumerate(loaders):
         seq_name = getattr(loader, "sequence", str(i))
         t0 = time.perf_counter()

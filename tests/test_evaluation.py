@@ -90,3 +90,19 @@ def test_run_benchmark_synthetic(tmp_path):
     # raw spectral descriptors on clean synthetic revisits retrieve well
     assert seq_metrics["recall@1"] > 0.5
     assert "recall@1" in res["mean"]
+
+
+def test_benchmark_rotation_invariance_gate(tmp_path):
+    from neural_spectral_codec_tpu.data.synthetic import SyntheticLoader
+    from neural_spectral_codec_tpu.utils.config import load_config
+    cfg = load_config(str(Path(__file__).resolve().parent.parent /
+                          "configs" / "inference.yaml"))
+    cfg["encoding"].update({"n_elevation": 16, "n_azimuth": 360, "n_bins": 20,
+                            "target_elevation_bins": 8, "max_points": 8192})
+    cfg["keyframe"].update({"distance_threshold": 2.0})
+    cfg["quality"] = {"check_rotation_invariance": True,
+                      "rotation_invariance_threshold": 1e-3}
+    res = run_benchmark(
+        [SyntheticLoader(n_frames=60, seed=0, n_points=4096, loops=2.0)],
+        cfg, results_path=str(tmp_path / "r.json"))
+    assert res["rotation_invariance"]["passed"]
