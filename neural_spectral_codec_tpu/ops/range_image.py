@@ -248,18 +248,26 @@ def _project_points_batch_compact(points: jnp.ndarray,
     cpix, cval = jax.vmap(compact)(linear_idx, vals)
 
     # expand compacted entries (unique ascending pixels) to dense slots
-    m = n_pix + n_points  # junk parks past the image region
+    m = n_pix + n_points          # junk parks past the image region
+    m += (-m) % 128               # lane alignment for the Pallas kernel
     pad = m - n_points
     cflag = cpix < n_pix
     cval = jnp.where(cflag, cval, 0.0)
-    posm = jnp.arange(m, dtype=jnp.int32)
-    disp = jnp.pad(jnp.where(cflag, cpix - posm[:n_points], 0),
-                   ((0, 0), (0, pad)))
+    pos = jnp.arange(n_points, dtype=jnp.int32)
+    disp = jnp.pad(jnp.where(cflag, cpix - pos, 0), ((0, 0), (0, pad)))
     cval = jnp.pad(cval, ((0, 0), (0, pad)))
     cflag = jnp.pad(cflag, ((0, 0), (0, pad)))
-    (img,), _ = _monotone_expand((cval,), cflag, disp,
-                                 max(n_pix.bit_length(), 1))
-    return img[:, :n_pix].reshape(b, config.n_elevation, config.n_azimuth)
+
+    if jax.default_backend() == "tpu" and n_pix % 128 == 0:
+        # all butterfly stages in VMEM: one HBM read + one write
+        from neural_spectral_codec_tpu.ops.pallas_densify import expand_pallas
+        img = expand_pallas(cval, disp.astype(jnp.float32),
+                            cflag.astype(jnp.float32), n_pix)
+    else:
+        (img,), _ = _monotone_expand((cval,), cflag, disp,
+                                     max(n_pix.bit_length(), 1))
+        img = img[:, :n_pix]
+    return img.reshape(b, config.n_elevation, config.n_azimuth)
 
 
 _BIG = 1 << 20  # distance sentinel for "no valid pixel found"
