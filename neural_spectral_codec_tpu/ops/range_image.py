@@ -258,7 +258,11 @@ def _project_points_batch_compact(points: jnp.ndarray,
     cval = jnp.pad(cval, ((0, 0), (0, pad)))
     cflag = jnp.pad(cflag, ((0, 0), (0, pad)))
 
-    if jax.default_backend() == "tpu" and n_pix % 128 == 0:
+    # the Pallas kernel holds 3 f32 arrays of (8, m) in VMEM (~12 B per
+    # element per scan); 155k elements ≈ 14.9 MB is verified to fit on
+    # v5e — larger point budgets fall back to the XLA butterfly
+    if (jax.default_backend() == "tpu" and n_pix % 128 == 0
+            and m <= 155_000):
         # all butterfly stages in VMEM: one HBM read + one write
         from neural_spectral_codec_tpu.ops.pallas_densify import expand_pallas
         img = expand_pallas(cval, disp.astype(jnp.float32),

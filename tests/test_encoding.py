@@ -332,3 +332,26 @@ def test_encoder_config_fuzz_vs_oracle(rng):
             got, want, atol=1e-6,
             err_msg=f"config: E{n_elev} A{n_azim} B{n_bins} T{target} "
                     f"a{alpha:.2f} elev{elev} R{max_r:.0f}")
+
+
+def test_expand_pallas_interpret_random(rng):
+    """Pallas butterfly expansion (interpret mode) vs direct placement."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.pallas_densify import expand_pallas
+    B, N, NPIX = 3, 2048, 23040
+    M = NPIX + N  # multiple of 128
+    cval = np.zeros((B, M), np.float32)
+    disp = np.zeros((B, M), np.float32)
+    flag = np.zeros((B, M), np.float32)
+    ref = np.zeros((B, NPIX), np.float32)
+    for b in range(B):
+        n_real = int(rng.integers(50, 2000))
+        pix = np.sort(rng.choice(NPIX, n_real, replace=False))
+        val = rng.uniform(1, 80, n_real).astype(np.float32)
+        cval[b, :n_real] = val
+        disp[b, :n_real] = pix - np.arange(n_real)
+        flag[b, :n_real] = 1.0
+        ref[b, pix] = val
+    got = np.asarray(expand_pallas(jnp.asarray(cval), jnp.asarray(disp),
+                                   jnp.asarray(flag), NPIX, True))
+    np.testing.assert_array_equal(got, ref)
