@@ -152,3 +152,74 @@ def test_keyframe_criteria_match_reference(rng):
         got_rot, gv = ours.check_rotation(T2, T1)
         assert ref_rot == got_rot and abs(rv - gv) < 1e-6
         assert ref.check_temporal(ts2, ts1)[0] == ours.check_temporal(ts2, ts1)[0]
+
+
+def test_pose_utils_match_reference(rng):
+    import data.pose_utils as ref
+    from neural_spectral_codec_tpu.data import pose_utils as ours
+
+    for _ in range(10):
+        # random valid SE(3) pair
+        def rand_T():
+            th = rng.uniform(-np.pi, np.pi)
+            ax = rng.normal(0, 1, 3); ax /= np.linalg.norm(ax)
+            K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                          [-ax[1], ax[0], 0]])
+            R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+            T = np.eye(4); T[:3, :3] = R; T[:3, 3] = rng.uniform(-10, 10, 3)
+            return T
+        T1, T2 = rand_T(), rand_T()
+        np.testing.assert_allclose(ours.inverse_pose(T1),
+                                   ref.inverse_pose(T1), atol=1e-12)
+        np.testing.assert_allclose(ours.relative_pose(T1, T2),
+                                   ref.relative_pose(T1, T2), atol=1e-12)
+        np.testing.assert_allclose(ours.compose_poses(T1, T2),
+                                   ref.compose_poses(T1, T2), atol=1e-12)
+        np.testing.assert_allclose(ours.euclidean_distance(T1, T2),
+                                   ref.euclidean_distance(T1, T2), atol=1e-12)
+        np.testing.assert_allclose(ours.rotation_angle(T1, T2),
+                                   ref.rotation_angle(T1, T2), atol=1e-9)
+        a = float(rng.uniform(0, 1))
+        np.testing.assert_allclose(ours.interpolate_poses(T1, T2, a),
+                                   ref.interpolate_poses(T1, T2, a),
+                                   atol=1e-9)
+        assert ours.is_valid_transformation(T1) == \
+            ref.is_valid_transformation(T1)
+        pts = rng.normal(0, 10, (50, 3))
+        np.testing.assert_allclose(ours.transform_points(pts, T1),
+                                   ref.transform_points(pts, T1), atol=1e-9)
+        sph_ours = ours.cartesian_to_spherical(pts)
+        sph_ref = ref.cartesian_to_spherical(pts)
+        np.testing.assert_allclose(sph_ours, sph_ref, atol=1e-9)
+        np.testing.assert_allclose(ours.spherical_to_cartesian(sph_ours),
+                                   ref.spherical_to_cartesian(sph_ref),
+                                   atol=1e-9)
+    # invalid matrices rejected the same way
+    bad = np.eye(4); bad[3, 3] = 2.0
+    assert ours.is_valid_transformation(bad) == \
+        ref.is_valid_transformation(bad) is False
+
+
+def test_unproject_and_difference_match_reference(rng):
+    from encoding.range_image import RangeImageProjector
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        ProjectionConfig, range_image_difference, unproject_range_image)
+
+    pts = _scan(rng, n=8000)
+    ref_proj = RangeImageProjector(n_elevation=64, n_azimuth=360)
+    img, _ = ref_proj.project(pts, keep_intensity=False)
+    want_pts = ref_proj.unproject(img)
+    got_pts, mask = unproject_range_image(jnp.asarray(img),
+                                          ProjectionConfig())
+    got_valid = np.asarray(got_pts)[np.asarray(mask)]
+    # same pixel-center reconstruction (row-major order of valid pixels)
+    np.testing.assert_allclose(got_valid, want_pts, atol=1e-4)
+
+    from encoding.range_image import compute_range_image_difference
+    img2 = img.copy()
+    img2[img2 > 0] += rng.normal(0, 0.7, img2.shape)[img2 > 0]
+    want_d = compute_range_image_difference(img, img2, threshold=0.5)
+    got_d = float(range_image_difference(jnp.asarray(img),
+                                         jnp.asarray(img2), 0.5))
+    np.testing.assert_allclose(got_d, want_d, atol=1e-6)
