@@ -223,3 +223,54 @@ def test_unproject_and_difference_match_reference(rng):
     got_d = float(range_image_difference(jnp.asarray(img),
                                          jnp.asarray(img2), 0.5))
     np.testing.assert_allclose(got_d, want_d, atol=1e-6)
+
+
+def test_nclt_loader_matches_reference(tmp_path):
+    from tests.test_data_loaders import _make_nclt
+    from data.nclt_loader import NCLTLoader as RefNCLT
+    from neural_spectral_codec_tpu.data import NCLTLoader
+
+    _make_nclt(tmp_path)
+    ours = NCLTLoader(str(tmp_path), "2012-01-08")
+    ref = RefNCLT(str(tmp_path), "2012-01-08")
+    assert len(ours) == len(ref)
+    for i in range(len(ours)):
+        a, b = ours[i], ref[i]
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["pose"], b["pose"])
+        # the reference divides the ~1.3e15 µs stamp by 1e6 BEFORE
+        # subtracting the start (float64 roundoff ~1e-7 s); we subtract
+        # first, which is exact — tolerance covers the reference's noise
+        np.testing.assert_allclose(a["timestamp"], b["timestamp"],
+                                   atol=1e-5)
+
+
+def test_helipr_loader_matches_reference(tmp_path):
+    from tests.test_data_loaders import _make_helipr
+    from data.helipr_loader import HeLiPRLoader as RefHeLiPR
+    from neural_spectral_codec_tpu.data import HeLiPRLoader
+
+    _make_helipr(tmp_path)
+    ours = HeLiPRLoader(str(tmp_path))
+    ref = RefHeLiPR(str(tmp_path))
+    assert len(ours) == len(ref)
+    for i in range(len(ours)):
+        a, b = ours[i], ref[i]
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["pose"], b["pose"])
+
+
+def test_kitti_loader_matches_reference(tmp_path):
+    from tests.test_data_loaders import _make_kitti
+    from data.kitti_loader import KITTILoader as RefKITTI
+    from neural_spectral_codec_tpu.data import KITTILoader
+
+    _make_kitti(tmp_path)
+    ours = KITTILoader(str(tmp_path), "00")
+    ref = RefKITTI(str(tmp_path), "00")
+    assert len(ours) == len(ref)
+    for i in range(len(ours)):
+        a, b = ours[i], ref[i]
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["pose"], b["pose"])
+        np.testing.assert_allclose(a["timestamp"], b["timestamp"])
