@@ -274,3 +274,40 @@ def test_kitti_loader_matches_reference(tmp_path):
         np.testing.assert_array_equal(a["points"], b["points"])
         np.testing.assert_array_equal(a["pose"], b["pose"])
         np.testing.assert_allclose(a["timestamp"], b["timestamp"])
+
+
+def test_selector_stream_matches_reference(rng):
+    """Full selection decisions over a 60-scan stream match the
+    reference's selector (OR logic, early termination, first-forced).
+    Motions are either clearly above or clearly below the thresholds so
+    the voxel-IoU tie-breaking (where our frame-corrected overlap
+    deliberately diverges) never decides."""
+    from keyframe.selector import KeyframeSelector as RefSelector
+    from neural_spectral_codec_tpu.keyframe.selector import KeyframeSelector
+
+    ours = KeyframeSelector()
+    ref = RefSelector()
+    pts = rng.uniform(-10, 10, (800, 3)).astype(np.float32)  # <5k: no subsample
+    T = np.eye(4)
+    t = 0.0
+    ours_sel, ref_sel = [], []
+    for i in range(60):
+        move = rng.random()
+        if move < 0.4:
+            T = T.copy(); T[0, 3] += 2.0          # clear distance trigger
+        elif move < 0.55:
+            th = 0.5                               # clear rotation trigger
+            R = np.array([[np.cos(th), -np.sin(th), 0],
+                          [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+            T = T.copy(); T[:3, :3] = T[:3, :3] @ R
+        elif move < 0.7:
+            t += 10.0                              # clear temporal trigger
+        else:
+            T = T.copy(); T[0, 3] += 0.01          # clearly nothing
+            t += 0.05
+        got, _, _ = ours.process_scan(i, pts, T.copy(), t)
+        want, _, _ = ref.process_scan(i, pts, T.copy(), t)
+        ours_sel.append(got)
+        ref_sel.append(bool(want))
+    assert ours_sel == ref_sel
+    assert sum(ours_sel) > 5  # the stream actually selected keyframes
