@@ -241,3 +241,38 @@ def test_online_resume_database_across_sessions(tmp_path):
     kf = pipe2.selector.keyframes[-1]
     cands = pipe2.retrieval.query(kf, verify=True)
     assert isinstance(cands, list)
+
+
+def test_online_survives_pathological_scans(tmp_path):
+    """Empty, all-NaN, single-point, and huge-coordinate scans must flow
+    through selection, encoding (uniform-fallback descriptor), the graph,
+    and retrieval without crashing."""
+    cfg = small_config(tmp_path, retrieval={
+        "spatial_filter_distance": 0.0, "top_k": 2,
+        "icp_max_iterations": 3, "verification_max_points": 512})
+
+    base = SyntheticLoader(n_frames=12, seed=0, n_points=2048, loops=1.0)
+
+    class Pathological:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            item = base[i]
+            if i == 3:
+                item["points"] = np.zeros((0, 4), np.float32)
+            elif i == 5:
+                item["points"] = np.full((100, 4), np.nan, np.float32)
+            elif i == 7:
+                item["points"] = np.array([[5.0, 0, 0, 1]], np.float32)
+            elif i == 9:
+                item["points"] = np.full((50, 4), 1e12, np.float32)
+            return item
+
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    edges = pipe.run_online(Pathological(), loop_closure_interval=4)
+    assert isinstance(edges, list)
+    assert len(pipe.selector.keyframes) > 0
+    for kf in pipe.selector.keyframes:
+        assert np.isfinite(kf.descriptor).all()
+        np.testing.assert_allclose(kf.descriptor.sum(), 1.0, atol=1e-4)
