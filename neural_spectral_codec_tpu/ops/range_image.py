@@ -479,3 +479,39 @@ def pad_points(points: np.ndarray, max_points: int) -> np.ndarray:
     if points.shape[1] == 3:
         out[:n, 3] = 0.0
     return out
+
+
+class RangeImageProjector:
+    """Class-style wrapper matching the reference's projector surface
+    (reference range_image.py:92: project/unproject methods) over the
+    functional jit kernels. Accepts unpadded (N, 3|4) numpy clouds."""
+
+    def __init__(self, n_elevation: int = 64, n_azimuth: int = 360,
+                 elevation_range: Tuple[float, float] = (-24.8, 2.0),
+                 max_range: float = 80.0, min_range: float = 1.0,
+                 max_points: int = 131072):
+        self.config = ProjectionConfig(
+            n_elevation=n_elevation, n_azimuth=n_azimuth,
+            elevation_range_deg=tuple(elevation_range),
+            max_range=max_range, min_range=min_range)
+        self.n_elevation = n_elevation
+        self.n_azimuth = n_azimuth
+        self.max_points = max_points
+
+    def project(self, points: np.ndarray, keep_intensity: bool = False):
+        """(N, 3|4) → range image (and intensity image when requested),
+        as numpy. Returns (range_image, intensity_image|None) like the
+        reference."""
+        import jax.numpy as jnp
+        padded = jnp.asarray(pad_points(points, self.max_points))
+        if keep_intensity:
+            img, iimg = project_points_with_intensity(padded, self.config)
+            return np.asarray(img), np.asarray(iimg)
+        return np.asarray(project_points(padded, self.config)), None
+
+    def unproject(self, range_image: np.ndarray) -> np.ndarray:
+        """Range image → (N, 3) valid points (reference :234-285)."""
+        import jax.numpy as jnp
+        pts, mask = unproject_range_image(jnp.asarray(range_image),
+                                          self.config)
+        return np.asarray(pts)[np.asarray(mask)]

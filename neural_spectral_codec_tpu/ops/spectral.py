@@ -225,3 +225,60 @@ def encode_range_image_numpy_50d(
     if s > epsilon:
         return hist / (s + epsilon)
     return np.ones(n_bins) / n_bins
+
+
+class SpectralEncoder:
+    """Class-style wrapper matching the reference encoder's surface
+    (reference spectral_encoder.py:24: encode_points / encode_range_image
+    / forward) over the functional jit kernels. Stateless apart from the
+    config and α; numpy in, numpy out."""
+
+    def __init__(self, n_elevation: int = 64, n_azimuth: int = 360,
+                 n_bins: int = 50, target_elevation_bins: int = 16,
+                 alpha: float = 2.0, interpolate_empty: bool = True,
+                 elevation_range: Tuple[float, float] = (-24.8, 2.0),
+                 max_range: float = 80.0, min_range: float = 1.0,
+                 max_points: int = 131072):
+        self.config = SpectralEncoderConfig(
+            n_elevation=n_elevation, n_azimuth=n_azimuth, n_bins=n_bins,
+            target_elevation_bins=target_elevation_bins, alpha=alpha,
+            interpolate_empty=interpolate_empty,
+            elevation_range_deg=tuple(elevation_range),
+            max_range=max_range, min_range=min_range)
+        self.alpha = alpha
+        self.max_points = max_points
+
+    @property
+    def output_dim(self) -> int:
+        return self.config.output_dim
+
+    def encode_points(self, points: np.ndarray) -> np.ndarray:
+        """(N, 3|4) unpadded cloud → (output_dim,) descriptor."""
+        import jax.numpy as jnp
+        from neural_spectral_codec_tpu.ops.range_image import pad_points
+        batch = jnp.asarray(pad_points(points, self.max_points))[None]
+        return np.asarray(encode_points_batch(
+            batch, jnp.float32(self.alpha), self.config))[0]
+
+    def encode_range_image(self, img: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        from neural_spectral_codec_tpu.ops.range_image import (
+            interpolate_range_image)
+        x = jnp.asarray(img, jnp.float32)
+        if self.config.interpolate_empty:
+            x = interpolate_range_image(x)
+        return np.asarray(encode_range_image(
+            x, jnp.float32(self.alpha), self.config))
+
+    def forward(self, clouds) -> np.ndarray:
+        """Batch of unpadded clouds → (B, output_dim) (reference's batch
+        forward is a Python loop, spectral_encoder.py:231-249; here one
+        device batch)."""
+        import jax.numpy as jnp
+        from neural_spectral_codec_tpu.ops.range_image import pad_points
+        batch = jnp.asarray(np.stack(
+            [pad_points(c, self.max_points) for c in clouds]))
+        return np.asarray(encode_points_batch(
+            batch, jnp.float32(self.alpha), self.config))
+
+    __call__ = forward

@@ -355,3 +355,33 @@ def test_expand_pallas_interpret_random(rng):
     got = np.asarray(expand_pallas(jnp.asarray(cval), jnp.asarray(disp),
                                    jnp.asarray(flag), NPIX, True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_class_wrappers_match_functional(rng):
+    from neural_spectral_codec_tpu.ops.range_image import RangeImageProjector
+    from neural_spectral_codec_tpu.ops.spectral import SpectralEncoder
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        pad_points, project_points, ProjectionConfig)
+    from neural_spectral_codec_tpu.ops.spectral import (
+        SpectralEncoderConfig, encode_points_batch)
+
+    pts = rng.uniform(-40, 40, (5000, 4)).astype(np.float32)
+    proj = RangeImageProjector(max_points=8192)
+    img, iimg = proj.project(pts, keep_intensity=True)
+    want = np.asarray(project_points(
+        jnp.asarray(pad_points(pts, 8192)), ProjectionConfig()))
+    np.testing.assert_array_equal(img, want)
+    assert iimg.shape == img.shape
+    back = proj.unproject(img)
+    assert back.shape[1] == 3 and len(back) == (img > 0).sum()
+
+    enc = SpectralEncoder(max_points=8192)
+    d1 = enc.encode_points(pts)
+    want_d = np.asarray(encode_points_batch(
+        jnp.asarray(pad_points(pts, 8192))[None], jnp.float32(2.0),
+        SpectralEncoderConfig()))[0]
+    np.testing.assert_array_equal(d1, want_d)
+    batch = enc([pts, pts])
+    np.testing.assert_array_equal(batch[0], d1)
+    np.testing.assert_allclose(enc.encode_range_image(img), d1, atol=1e-6)
