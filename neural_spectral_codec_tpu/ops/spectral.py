@@ -282,3 +282,39 @@ class SpectralEncoder:
             batch, jnp.float32(self.alpha), self.config))
 
     __call__ = forward
+
+
+class SpectralEncoderNumpy:
+    """Torch-free 50-D encoder variant (reference spectral_encoder.py:264:
+    magnitudes summed over ALL elevations into one histogram — a
+    deliberately different, coarser descriptor kept for API completeness)."""
+
+    def __init__(self, n_elevation: int = 64, n_azimuth: int = 360,
+                 n_bins: int = 50, alpha: float = 2.0,
+                 elevation_range: Tuple[float, float] = (-24.8, 2.0),
+                 max_range: float = 80.0, min_range: float = 1.0,
+                 max_points: int = 131072):
+        self.projector_config = ProjectionConfig(
+            n_elevation=n_elevation, n_azimuth=n_azimuth,
+            elevation_range_deg=tuple(elevation_range),
+            max_range=max_range, min_range=min_range)
+        self.n_bins = n_bins
+        self.alpha = alpha
+        self.max_points = max_points
+
+    def encode_points(self, points: np.ndarray) -> np.ndarray:
+        from neural_spectral_codec_tpu.ops.range_image import (
+            RangeImageProjector)
+        proj = RangeImageProjector(
+            n_elevation=self.projector_config.n_elevation,
+            n_azimuth=self.projector_config.n_azimuth,
+            elevation_range=self.projector_config.elevation_range_deg,
+            max_range=self.projector_config.max_range,
+            min_range=self.projector_config.min_range,
+            max_points=self.max_points)
+        img, _ = proj.project(points)
+        return self.encode_range_image(img)
+
+    def encode_range_image(self, img: np.ndarray) -> np.ndarray:
+        return encode_range_image_numpy_50d(np.asarray(img), self.n_bins,
+                                            self.alpha)

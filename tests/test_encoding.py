@@ -385,3 +385,12 @@ def test_class_wrappers_match_functional(rng):
     batch = enc([pts, pts])
     np.testing.assert_array_equal(batch[0], d1)
     np.testing.assert_allclose(enc.encode_range_image(img), d1, atol=1e-6)
+
+
+def test_numpy_encoder_class(rng):
+    from neural_spectral_codec_tpu.ops.spectral import SpectralEncoderNumpy
+    enc = SpectralEncoderNumpy(max_points=8192)
+    pts = rng.uniform(-40, 40, (5000, 4)).astype(np.float32)
+    d = enc.encode_points(pts)
+    assert d.shape == (50,)
+    np.testing.assert_allclose(d.sum(), 1.0, atol=1e-6)
