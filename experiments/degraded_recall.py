@@ -10,9 +10,13 @@ from temporal-graph context.
 
 Run:  python experiments/degraded_recall.py [--epochs 30] [--frames 400]
 
-Measured on one TPU v5e (2026-08-16, defaults):
-    raw descriptor  recall@1 0.167   recall@5 0.328   (180 queries)
-    GNN-enhanced    recall@1 0.267   (+60% relative, 15 epochs)
+Measured on one TPU v5e (2026-08-16):
+    defaults (400 frames, 15 epochs):
+        raw descriptor  R@1 0.167   R@5 0.328   (180 queries)
+        GNN-enhanced    R@1 0.267   R@5 0.444 (via run_benchmark)
+    --frames 600 --epochs 40:
+        raw descriptor  R@1 0.269   R@5 0.458   (271 queries)
+        GNN-enhanced    R@1 0.391   (+45% relative)
 """
 
 import argparse
