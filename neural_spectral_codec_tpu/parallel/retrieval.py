@@ -105,29 +105,36 @@ class ShardedWassersteinRetriever:
 
     def query(self, query_hist: np.ndarray, top_k: int = 10,
               query_position: Optional[np.ndarray] = None,
-              spatial_min_distance: float = 0.0
-              ) -> Tuple[np.ndarray, np.ndarray]:
+              spatial_min_distance: float = 0.0,
+              exclude_last: int = 0) -> Tuple[np.ndarray, np.ndarray]:
         if self.database_size == 0:
             return np.array([], np.int64), np.array([])
         idx, dist = self.query_batch(
             np.atleast_2d(np.asarray(query_hist)), top_k=top_k,
             query_positions=(None if query_position is None
                              else np.atleast_2d(query_position)),
-            spatial_min_distance=spatial_min_distance)
+            spatial_min_distance=spatial_min_distance,
+            exclude_last=exclude_last)
+        if idx.shape[1] == 0:
+            return np.array([], np.int64), np.array([])
         keep = np.isfinite(dist[0])
         return idx[0][keep], dist[0][keep]
 
     def query_batch(self, query_hists: np.ndarray, top_k: int = 10,
                     query_positions: Optional[np.ndarray] = None,
-                    spatial_min_distance: float = 0.0
+                    spatial_min_distance: float = 0.0,
+                    exclude_last: int = 0
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, n_bins) queries in one sharded dispatch: local W₁ + local
         top-k per shard slab, one (n_dev, Q, k) all-gather over ICI,
-        global top-k. Excluded entries carry inf distance."""
-        if self.database_size == 0:
+        global top-k. ``exclude_last`` drops the newest entries (temporal
+        context exclusion, same semantics as the unsharded retriever).
+        Excluded entries carry inf distance."""
+        eff_size = max(self.database_size - max(exclude_last, 0), 0)
+        if eff_size == 0:
             qn = len(np.atleast_2d(query_hists))
             return np.zeros((qn, 0), np.int64), np.zeros((qn, 0))
-        k = int(min(top_k, self.database_size))
+        k = int(min(top_k, eff_size))
         if k not in self._query_fns:
             self._query_fns[k] = _make_query_fn(self.mesh, k)
         q = jnp.asarray(np.atleast_2d(np.asarray(query_hists, np.float32)))
@@ -138,7 +145,7 @@ class ShardedWassersteinRetriever:
             qp[:, :3] = np.atleast_2d(query_positions)
             qp[:, 3] = spatial_min_distance
         idx, dist = self._query_fns[k](
-            self._db_cdf, self._db_pos, jnp.int32(self.database_size),
+            self._db_cdf, self._db_pos, jnp.int32(eff_size),
             q_cdf, jnp.asarray(qp))
         return np.asarray(idx), np.asarray(dist)
 

@@ -245,3 +245,13 @@ def test_sharded_query_batch_matches_plain(rng):
         np.testing.assert_allclose(np.sort(bdist[row][keep]),
                                    np.sort(sdist), rtol=1e-5, atol=1e-7)
         assert set(bidx[row][keep].tolist()) == set(sidx.tolist())
+
+
+def test_sharded_retriever_exclude_last(rng):
+    mesh = create_mesh(8)
+    r = ShardedWassersteinRetriever(mesh, n_bins=20, capacity=64)
+    h = rng.random((40, 20), dtype=np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    r.add_to_database(h)
+    idx, _ = r.query(h[39], top_k=40, exclude_last=10)
+    assert len(idx) == 30 and idx.max() < 30
