@@ -23,3 +23,52 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_bootstraps_under_ambient_tpu_env():
+    """The driver invokes dryrun_multichip in a fresh process where
+    JAX_PLATFORMS may point at real TPU hardware; the entry point must
+    force its own virtual CPU mesh (round-1 driver failure mode). Run it
+    in a subprocess with a hostile ambient env — conftest's pre-forced
+    CPU setup must not mask the bug."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"
+    env.pop("JAX_PLATFORM_NAME", None)
+    env.pop("XLA_FLAGS", None)
+    repo = str(Path(__file__).resolve().parent.parent)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(4) OK" in proc.stdout, proc.stdout
+
+
+def test_dryrun_multichip_clear_error_when_backend_busy():
+    """If the backend is already initialized with too few devices, the
+    failure must be a clear RuntimeError, not a cryptic mesh error."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # single CPU device
+    repo = str(Path(__file__).resolve().parent.parent)
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "jnp.zeros(1).block_until_ready()\n"  # initialize 1-device backend
+        "import __graft_entry__ as g\n"
+        "try:\n"
+        "    g.dryrun_multichip(4)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'already initialized' in str(e), e\n"
+        "    print('CLEAR_ERROR_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CLEAR_ERROR_OK" in proc.stdout, proc.stdout
