@@ -24,17 +24,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
 
 
-def _make_query_fn(mesh: Mesh, top_k: int):
+def _make_query_fn(mesh: Mesh, top_k: int, metric: str = "wasserstein"):
     rows = P("data", None)
     repl = P()
 
     def local_query(db_cdf, db_pos, size, query_cdf, qp):
         # db_cdf: (rows_per_shard, n_bins) local slab; queries (Q, n_bins)
+        # (CDFs under W₁; raw vectors under L2)
         shard = jax.lax.axis_index("data")
         n_local = db_cdf.shape[0]
         base = shard * n_local
-        dists = jnp.sum(
-            jnp.abs(db_cdf[None, :, :] - query_cdf[:, None, :]), axis=2)
+        if metric == "wasserstein":
+            dists = jnp.sum(
+                jnp.abs(db_cdf[None, :, :] - query_cdf[:, None, :]), axis=2)
+        else:
+            dists = jnp.linalg.norm(
+                db_cdf[None, :, :] - query_cdf[:, None, :], axis=2)
         gidx = base + jnp.arange(n_local)
         invalid = (gidx >= size)[None, :]
         spatial = jnp.linalg.norm(
@@ -66,7 +71,11 @@ class ShardedWassersteinRetriever:
     same add/query surface, database rows sharded over ``mesh``."""
 
     def __init__(self, mesh: Mesh, n_bins: int = 800,
-                 capacity: int = 100_000, epsilon: float = 1e-8):
+                 capacity: int = 100_000, epsilon: float = 1e-8,
+                 metric: str = "wasserstein"):
+        if metric not in ("wasserstein", "l2"):
+            raise ValueError(f"unknown metric: {metric}")
+        self.metric = metric
         self.mesh = mesh
         self.n_devices = mesh.shape["data"]
         # capacity rounded up so every shard slab is equal
@@ -81,13 +90,18 @@ class ShardedWassersteinRetriever:
             jnp.zeros((self.capacity, 3), jnp.float32), sh_rows)
         self._query_fns = {}
 
+    def _encode_rows(self, vectors: jnp.ndarray) -> jnp.ndarray:
+        if self.metric == "wasserstein":
+            return histogram_cdf(vectors, self.epsilon)
+        return vectors
+
     def add_to_database(self, histograms: np.ndarray,
                         positions: Optional[np.ndarray] = None) -> None:
         h = jnp.asarray(np.atleast_2d(np.asarray(histograms, np.float32)))
         n = h.shape[0]
         if self.database_size + n > self.capacity:
             raise ValueError("Database capacity exceeded")
-        cdf = histogram_cdf(h, self.epsilon)
+        cdf = self._encode_rows(h)
         start = jnp.int32(self.database_size)
         # donated jitted update: writes rows in place (preserving the row
         # sharding) instead of copying the whole sharded buffer
@@ -102,6 +116,25 @@ class ShardedWassersteinRetriever:
     @functools.partial(jax.jit, donate_argnums=(0,))
     def _insert(buf, rows, start):
         return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _set(buf, idx, rows):
+        return buf.at[idx].set(rows, mode="drop", unique_indices=True)
+
+    def update_rows(self, indices: np.ndarray, vectors: np.ndarray) -> None:
+        """Overwrite existing rows in place (GNN local-update refresh),
+        same surface as the unsharded retriever. The scatter is planned by
+        the SPMD partitioner over the row-sharded buffer; indices may land
+        on any shard."""
+        idx = np.atleast_1d(np.asarray(indices, np.int64))
+        if len(idx) == 0:
+            return
+        if idx.max() >= self.database_size:
+            raise IndexError("update_rows beyond database size")
+        v = jnp.asarray(np.atleast_2d(np.asarray(vectors, np.float32)))
+        self._db_cdf = self._set(self._db_cdf, jnp.asarray(idx),
+                                 self._encode_rows(v))
 
     def query(self, query_hist: np.ndarray, top_k: int = 10,
               query_position: Optional[np.ndarray] = None,
@@ -136,9 +169,9 @@ class ShardedWassersteinRetriever:
             return np.zeros((qn, 0), np.int64), np.zeros((qn, 0))
         k = int(min(top_k, eff_size))
         if k not in self._query_fns:
-            self._query_fns[k] = _make_query_fn(self.mesh, k)
+            self._query_fns[k] = _make_query_fn(self.mesh, k, self.metric)
         q = jnp.asarray(np.atleast_2d(np.asarray(query_hists, np.float32)))
-        q_cdf = histogram_cdf(q, self.epsilon)
+        q_cdf = self._encode_rows(q)
         qn = q.shape[0]
         qp = np.zeros((qn, 4), np.float32)
         if query_positions is not None and spatial_min_distance > 0:

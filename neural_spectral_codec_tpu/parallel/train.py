@@ -54,7 +54,8 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0,
 def make_sharded_train_step(model: SpectralGNN,
                             optimizer: optax.GradientTransformation,
                             mesh: Mesh,
-                            shard_nodes: bool = False) -> Callable:
+                            shard_nodes: bool = False,
+                            normalize: bool = False) -> Callable:
     """Build a jitted SPMD train step over ``mesh``.
 
     Returns ``step(params, batch_stats, opt_state, features, neighbors,
@@ -62,7 +63,9 @@ def make_sharded_train_step(model: SpectralGNN,
     rng) -> (params, batch_stats, opt_state, loss)``.
 
     Triplet arrays must have leading dim divisible by the mesh size; with
-    ``shard_nodes`` the node arrays must too.
+    ``shard_nodes`` the node arrays must too. ``normalize`` must match the
+    trainer's ``normalize_embeddings`` so the sharded and single-device
+    paths optimize the same objective.
     """
     repl = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("data"))
@@ -82,7 +85,8 @@ def make_sharded_train_step(model: SpectralGNN,
                 features, neighbors, mask, edge_feats, train=True,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             loss = triplet_loss(emb[anchor_idx], emb[pos_idx], emb[neg_idx],
-                                margin=margin, mask=triplet_mask)
+                                margin=margin, mask=triplet_mask,
+                                normalize=normalize)
             return loss, updates["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(

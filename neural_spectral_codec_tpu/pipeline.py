@@ -340,6 +340,12 @@ class NeuralSpectralCodecPipeline:
         if (resume_database and database_path
                 and Path(database_path).exists()):
             db_base = self.retrieval.load_database(database_path)
+            # ids must be globally unique across sessions: restored records
+            # keep their original keyframe_ids (0..db_base-1), so the new
+            # session numbers from db_base — keyframe_id then equals the db
+            # row for every record, resumed or new, and loop-closure edges
+            # can never attach to the wrong graph node
+            self.selector.keyframe_id_counter = db_base
             logger.info("Resumed descriptor database: %d records from %s",
                         db_base, database_path)
         mon = self.config.get("monitoring", {})
@@ -385,10 +391,10 @@ class NeuralSpectralCodecPipeline:
                 self.retrieval.add_keyframe(kf)
                 if self.use_embeddings_for_retrieval and refreshed_nodes:
                     # keep already-inserted rows in sync with the GNN's
-                    # refreshed embeddings (db row = preloaded records +
-                    # this session's keyframe_id)
+                    # refreshed embeddings (db row == keyframe_id: the
+                    # selector counter starts at db_base when resuming)
                     self.retrieval.refresh_keyframes([
-                        db_base + self.graph_manager.keyframes[i].keyframe_id
+                        self.graph_manager.keyframes[i].keyframe_id
                         for i in refreshed_nodes])
 
             if len(self.selector.keyframes) % loop_closure_interval == 0:

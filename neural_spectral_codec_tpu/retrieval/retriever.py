@@ -42,22 +42,22 @@ def _set_rows(buf, idx, rows):
     return buf.at[idx].set(rows, mode="drop", unique_indices=True)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
+@functools.partial(jax.jit, static_argnums=(5, 6), static_argnames=("epsilon",))
 def _query_batch_kernel(db_rows, db_pos, size, queries, query_pos_and_filters,
-                        top_k, metric="wasserstein"):
+                        top_k, metric="wasserstein", epsilon=1e-8):
     """Batched fused query: (Q, n_bins) queries against the whole database
     in ONE dispatch. The database is streamed from HBM once for all Q
     queries instead of once per query — at 100k × 800 the database read
     dominates, so batching amortizes it to ~Q× cheaper per query.
 
     metric="wasserstein": rows are CDFs, queries are histograms (CDF'd
-    here), distance = L1 of CDF difference = 1-D W₁.
+    here with the same s>ε normalization guard as the single-query path,
+    so query() and query_batch() agree exactly), distance = L1 of CDF
+    difference = 1-D W₁.
     metric="l2": rows/queries are raw vectors (e.g. GNN embeddings)."""
     n = db_rows.shape[0]
     if metric == "wasserstein":
-        q = jnp.cumsum(
-            queries / jnp.maximum(
-                queries.sum(axis=1, keepdims=True), 1e-12), axis=1)
+        q = histogram_cdf(queries, epsilon)
         dists = jnp.sum(jnp.abs(db_rows[None, :, :] - q[:, None, :]), axis=2)
     else:
         dists = jnp.linalg.norm(
@@ -73,16 +73,16 @@ def _query_batch_kernel(db_rows, db_pos, size, queries, query_pos_and_filters,
     return top_idx, -neg_top
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
+@functools.partial(jax.jit, static_argnums=(5, 6), static_argnames=("epsilon",))
 def _query_kernel(db_rows, db_pos, size, query, query_pos_and_filter, top_k,
-                  metric="wasserstein"):
+                  metric="wasserstein", epsilon=1e-8):
     """Fused encode + distance + masking + top-k, one dispatch.
     ``query_pos_and_filter`` is a (4,) vector [x, y, z,
     min_spatial_distance]; min_spatial_distance ≤ 0 disables the spatial
     filter."""
     n = db_rows.shape[0]
     if metric == "wasserstein":
-        q = histogram_cdf(query)
+        q = histogram_cdf(query, epsilon)
         dists = jnp.sum(jnp.abs(db_rows - q[None, :]), axis=1)
     else:
         dists = jnp.linalg.norm(db_rows - query[None, :], axis=1)
@@ -176,23 +176,28 @@ class WassersteinRetriever:
             qp[3] = spatial_min_distance
         idx, dist = _query_kernel(self._db_cdf, self._db_pos,
                                   jnp.int32(eff_size), q,
-                                  jnp.asarray(qp), k, self.metric)
+                                  jnp.asarray(qp), k, self.metric,
+                                  epsilon=self.epsilon)
         idx, dist = np.asarray(idx), np.asarray(dist)
         keep = np.isfinite(dist)
         return idx[keep], dist[keep]
 
     def query_batch(self, query_hists: np.ndarray, top_k: int = 10,
                     query_positions: Optional[np.ndarray] = None,
-                    spatial_min_distance: float = 0.0
+                    spatial_min_distance: float = 0.0,
+                    exclude_last: int = 0
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched top-k for (Q, n_bins) queries in one dispatch. Returns
         (Q, k) indices and distances; excluded/invalid entries carry inf
-        distance. ~Q× cheaper per query than :meth:`query` because the
-        database is streamed from HBM once."""
-        if self.database_size == 0:
+        distance. ``exclude_last`` drops the most recently inserted entries
+        (temporal context exclusion, same semantics as :meth:`query`).
+        ~Q× cheaper per query than :meth:`query` because the database is
+        streamed from HBM once."""
+        eff_size = max(self.database_size - max(exclude_last, 0), 0)
+        if eff_size == 0:
             qn = len(np.atleast_2d(query_hists))
             return (np.zeros((qn, 0), np.int64), np.zeros((qn, 0)))
-        k = int(min(top_k, self.database_size))
+        k = int(min(top_k, eff_size))
         q = jnp.asarray(np.atleast_2d(np.asarray(query_hists, np.float32)))
         qn = q.shape[0]
         qp = np.zeros((qn, 4), np.float32)
@@ -200,8 +205,8 @@ class WassersteinRetriever:
             qp[:, :3] = np.atleast_2d(query_positions)
             qp[:, 3] = spatial_min_distance
         idx, dist = _query_batch_kernel(
-            self._db_cdf, self._db_pos, jnp.int32(self.database_size), q,
-            jnp.asarray(qp), k, self.metric)
+            self._db_cdf, self._db_pos, jnp.int32(eff_size), q,
+            jnp.asarray(qp), k, self.metric, epsilon=self.epsilon)
         return np.asarray(idx), np.asarray(dist)
 
     def clear_database(self) -> None:

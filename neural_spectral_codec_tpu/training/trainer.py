@@ -134,7 +134,8 @@ class GNNTrainer:
             from neural_spectral_codec_tpu.parallel.train import (
                 make_sharded_train_step)
             self._sharded_step = make_sharded_train_step(
-                self.model, self.optimizer, mesh, shard_nodes=shard_nodes)
+                self.model, self.optimizer, mesh, shard_nodes=shard_nodes,
+                normalize=self.normalize_embeddings)
             self._divisor = int(np.prod(list(mesh.shape.values())))
             if shard_nodes:
                 logger.info("SPMD training over %d devices (nodes sharded)",

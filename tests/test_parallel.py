@@ -255,3 +255,79 @@ def test_sharded_retriever_exclude_last(rng):
     r.add_to_database(h)
     idx, _ = r.query(h[39], top_k=40, exclude_last=10)
     assert len(idx) == 30 and idx.max() < 30
+
+
+def test_sharded_retriever_l2_matches_plain(rng):
+    """metric="l2" surface parity: GNN-embedding retrieval must scale
+    across chips identically to the unsharded retriever."""
+    n, dim = 64, 32
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)  # embeddings: signed
+    pos = rng.random((n, 3), dtype=np.float32) * 100
+    mesh = create_mesh(8)
+    sharded = ShardedWassersteinRetriever(mesh, n_bins=dim, capacity=64,
+                                          metric="l2")
+    plain = WassersteinRetriever(n_bins=dim, capacity=64, metric="l2")
+    sharded.add_to_database(vecs, pos)
+    plain.add_to_database(vecs, pos)
+    for qi in (0, 31, 63):
+        i1, d1 = sharded.query(vecs[qi], top_k=5, query_position=pos[qi],
+                               spatial_min_distance=20.0)
+        i2, d2 = plain.query(vecs[qi], top_k=5, query_position=pos[qi],
+                             spatial_min_distance=20.0)
+        np.testing.assert_allclose(np.sort(d1), np.sort(d2),
+                                   rtol=1e-5, atol=1e-6)
+        assert set(i1.tolist()) == set(i2.tolist())
+
+
+def test_sharded_retriever_update_rows_matches_plain(rng):
+    """Row refreshes (GNN local updates) must behave identically sharded
+    and unsharded, for both metrics, including rows on different shards."""
+    n, bins = 64, 50
+    for metric in ("wasserstein", "l2"):
+        hists = rng.random((n, bins), dtype=np.float32)
+        hists /= hists.sum(axis=1, keepdims=True)
+        mesh = create_mesh(8)
+        sharded = ShardedWassersteinRetriever(mesh, n_bins=bins,
+                                              capacity=64, metric=metric)
+        plain = WassersteinRetriever(n_bins=bins, capacity=64, metric=metric)
+        sharded.add_to_database(hists)
+        plain.add_to_database(hists)
+        # refresh rows scattered across several shard slabs
+        refresh_idx = np.array([0, 9, 23, 41, 63])
+        fresh = rng.random((len(refresh_idx), bins), dtype=np.float32)
+        fresh /= fresh.sum(axis=1, keepdims=True)
+        sharded.update_rows(refresh_idx, fresh)
+        plain.update_rows(refresh_idx, fresh)
+        i1, d1 = sharded.query(fresh[2], top_k=5)
+        i2, d2 = plain.query(fresh[2], top_k=5)
+        assert i1[0] == 23 and i2[0] == 23, (metric, i1, i2)
+        np.testing.assert_allclose(np.sort(d1), np.sort(d2),
+                                   rtol=1e-5, atol=1e-6)
+        assert set(i1.tolist()) == set(i2.tolist())
+
+
+def test_plain_query_batch_exclude_last(rng):
+    """query() / query_batch() parity for temporal exclusion on the
+    unsharded retriever."""
+    r = WassersteinRetriever(n_bins=20, capacity=64)
+    h = rng.random((40, 20), dtype=np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    r.add_to_database(h)
+    bidx, bdist = r.query_batch(h[[39, 5]], top_k=40, exclude_last=10)
+    assert bidx.shape[1] == 30 and bidx.max() < 30
+    sidx, sdist = r.query(h[39], top_k=40, exclude_last=10)
+    keep = np.isfinite(bdist[0])
+    np.testing.assert_allclose(np.sort(bdist[0][keep]), np.sort(sdist),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_plain_query_and_query_batch_same_normalization(rng):
+    """Advisor finding: both query paths must share one CDF normalization —
+    identical (even unnormalized) inputs must give identical W1 distances."""
+    r = WassersteinRetriever(n_bins=20, capacity=16)
+    h = rng.random((8, 20), dtype=np.float32) * 3.0  # deliberately unnormalized
+    r.add_to_database(h)
+    sidx, sdist = r.query(h[3], top_k=8)
+    bidx, bdist = r.query_batch(h[[3]], top_k=8)
+    np.testing.assert_array_equal(sidx, bidx[0])
+    np.testing.assert_allclose(sdist, bdist[0], rtol=0, atol=1e-7)
