@@ -179,6 +179,36 @@ def project_points_batch(points: jnp.ndarray, config: ProjectionConfig) -> jnp.n
     return jax.vmap(lambda p: project_points(p, config))(points)
 
 
+def _monotone_compact_left(payloads, flag, disp, n_stages: int):
+    """Butterfly compaction: route flagged elements LEFT along the last
+    axis by ``disp`` (= position − rank among flagged) via LSB-first
+    log2 stages of roll+select — the streaming-compaction mirror of
+    :func:`_monotone_expand`.
+
+    Collision-freedom: compaction is a monotone partial permutation
+    (sources increasing, targets = ranks strictly increasing, target ≤
+    source, distances non-decreasing); LSB-first scheduling routes it
+    without conflicts (brute-force-verified; note MSB-first does NOT work
+    for the leftward direction — see _monotone_expand's docstring).
+    """
+    m = disp.shape[-1]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    for k in range(n_stages):
+        step = 1 << k
+        mv = flag & (((disp >> k) & 1) == 1)
+        inc = jnp.roll(mv, -step, axis=-1) & (idx < m - step)
+
+        def take(p):
+            return jnp.where(inc, jnp.roll(p, -step, axis=-1),
+                             jnp.where(mv, jnp.zeros_like(p), p))
+
+        payloads = tuple(take(p) for p in payloads)
+        disp = jnp.where(inc, jnp.roll(disp, -step, axis=-1) - step,
+                         jnp.where(mv, 0, disp))
+        flag = inc | (flag & ~mv)
+    return payloads, flag
+
+
 def _monotone_expand(payloads, flag, disp, n_stages: int):
     """Butterfly expansion: route flagged elements RIGHT along the last
     axis by their per-element displacement via MSB-first log2 stages of
@@ -241,28 +271,53 @@ def _project_points_batch_compact(points: jnp.ndarray,
     def compact(idx_row, val_row):
         sorted_idx, run_min, is_start = _segment_min_sorted(
             idx_row, val_row, config.max_range, n_pix)
-        key2 = jnp.where(is_start & (sorted_idx < n_pix), sorted_idx,
-                         jnp.int32(1 << 29))
-        return jax.lax.sort((key2, run_min), num_keys=1)
+        start = is_start & (sorted_idx < n_pix)
+        # Run starts appear in ascending pixel order already, so collecting
+        # them is a MONOTONE compaction — rank via a Hillis-Steele prefix
+        # count (log2 shifted adds) + LSB-first leftward butterfly, which
+        # is ~2x cheaper than the second lax.sort it replaces (rolls fuse;
+        # sorts do not).
+        incl = start.astype(jnp.int32)
+        shift = 1
+        while shift < incl.shape[-1]:
+            incl = incl + jnp.where(
+                jnp.arange(incl.shape[-1]) >= shift,
+                jnp.roll(incl, shift, axis=-1), 0)
+            shift *= 2
+        rank = incl - start.astype(jnp.int32)
+        pos = jnp.arange(start.shape[-1], dtype=jnp.int32)
+        disp = jnp.where(start, pos - rank, 0)
+        (pix_c, val_c), flag_c = _monotone_compact_left(
+            (sorted_idx, run_min), start, disp,
+            max((start.shape[-1] - 1).bit_length(), 1))
+        return jnp.where(flag_c, pix_c, jnp.int32(1 << 29)), val_c
 
     cpix, cval = jax.vmap(compact)(linear_idx, vals)
 
+    # the compaction sort puts all real entries (unique ascending pixel
+    # ids, at most one per pixel) in the first min(n_points, n_pix) slots —
+    # slice before expanding, so expansion cost is set by the IMAGE size,
+    # not the point density (131k-point scans expand the same 23k slots a
+    # 16k-point scan does)
+    L = min(n_points, n_pix)
+    cpix = cpix[:, :L]
+    cval = cval[:, :L]
+
     # expand compacted entries (unique ascending pixels) to dense slots
-    m = n_pix + n_points          # junk parks past the image region
-    m += (-m) % 128               # lane alignment for the Pallas kernel
-    pad = m - n_points
+    m = n_pix + (-n_pix) % 128    # lane alignment for the Pallas kernel
+    pad = m - L
     cflag = cpix < n_pix
     cval = jnp.where(cflag, cval, 0.0)
-    pos = jnp.arange(n_points, dtype=jnp.int32)
+    pos = jnp.arange(L, dtype=jnp.int32)
     disp = jnp.pad(jnp.where(cflag, cpix - pos, 0), ((0, 0), (0, pad)))
     cval = jnp.pad(cval, ((0, 0), (0, pad)))
     cflag = jnp.pad(cflag, ((0, 0), (0, pad)))
 
     # the Pallas kernel holds 3 f32 arrays of (8, m) in VMEM (~12 B per
-    # element per scan); 155k elements ≈ 14.9 MB is verified to fit on
-    # v5e — larger point budgets fall back to the XLA butterfly
+    # element per scan) plus the output block; m == n_pix (23k at the
+    # reference geometry ≈ 2.2 MB) is far under the 16 MB scoped-vmem cap
     if (jax.default_backend() == "tpu" and n_pix % 128 == 0
-            and m <= 155_000):
+            and m <= 120_000):
         # all butterfly stages in VMEM: one HBM read + one write
         from neural_spectral_codec_tpu.ops.pallas_densify import expand_pallas
         img = expand_pallas(cval, disp.astype(jnp.float32),

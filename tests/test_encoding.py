@@ -394,3 +394,29 @@ def test_numpy_encoder_class(rng):
     d = enc.encode_points(pts)
     assert d.shape == (50,)
     np.testing.assert_allclose(d.sum(), 1.0, atol=1e-6)
+
+def test_monotone_compact_left_random(rng):
+    """LSB-first leftward butterfly compaction: brute-force random
+    instances vs the sort it replaces."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        _monotone_compact_left)
+    M = 512
+    for _ in range(50):
+        n_flag = int(rng.integers(1, M))
+        src = np.sort(rng.choice(M, n_flag, replace=False))
+        flag = np.zeros((1, M), bool)
+        val = np.zeros((1, M), np.float32)
+        pix = np.zeros((1, M), np.int32)
+        disp = np.zeros((1, M), np.int32)
+        flag[0, src] = True
+        val[0, src] = rng.random(n_flag).astype(np.float32)
+        pix[0, src] = np.sort(rng.choice(10 * M, n_flag, replace=False))
+        disp[0, src] = src - np.arange(n_flag)
+        (opix, oval), oflag = _monotone_compact_left(
+            (jnp.asarray(pix), jnp.asarray(val)), jnp.asarray(flag),
+            jnp.asarray(disp), 9)
+        opix, oval, oflag = map(np.asarray, (opix, oval, oflag))
+        assert oflag[0, :n_flag].all() and not oflag[0, n_flag:].any()
+        np.testing.assert_array_equal(opix[0, :n_flag], pix[0, src])
+        np.testing.assert_array_equal(oval[0, :n_flag], val[0, src])
