@@ -112,10 +112,11 @@ struct Grid {
 
 // --- tiny linear algebra --------------------------------------------------
 
-// symmetric 3x3 eigen-decomposition by Jacobi rotations; returns the
-// eigenvector of the smallest eigenvalue in `out`
-static void smallest_eigvec3(double a[3][3], float out[3]) {
-  double v[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+// symmetric 3x3 eigen-decomposition by Jacobi rotations; eigenvalues land
+// on the diagonal of `a` and eigenvectors in the COLUMNS of `v`
+static void jacobi_eig3(double a[3][3], double v[3][3]) {
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) v[i][j] = (i == j) ? 1.0 : 0.0;
   for (int sweep = 0; sweep < 16; sweep++) {
     double offdiag = std::fabs(a[0][1]) + std::fabs(a[0][2]) +
                      std::fabs(a[1][2]);
@@ -142,10 +143,36 @@ static void smallest_eigvec3(double a[3][3], float out[3]) {
         }
       }
   }
+}
+
+static void smallest_eigvec3(double a[3][3], float out[3]) {
+  double v[3][3];
+  jacobi_eig3(a, v);
   int mi = 0;
   if (a[1][1] < a[mi][mi]) mi = 1;
   if (a[2][2] < a[mi][mi]) mi = 2;
   for (int k = 0; k < 3; k++) out[k] = (float)v[k][mi];
+}
+
+// inverse of a symmetric 3x3 via adjugate; falls back to a damped inverse
+// when near-singular
+static void inv3_sym(const double m[3][3], double out[3][3]) {
+  double a = m[0][0], b = m[0][1], c = m[0][2];
+  double d = m[1][1], e = m[1][2], f = m[2][2];
+  double det = a * (d * f - e * e) - b * (b * f - e * c) +
+               c * (b * e - d * c);
+  if (std::fabs(det) < 1e-18) {
+    double md[3][3] = {{a + 1e-6, b, c}, {b, d + 1e-6, e}, {c, e, f + 1e-6}};
+    inv3_sym(md, out);
+    return;
+  }
+  double inv = 1.0 / det;
+  out[0][0] = (d * f - e * e) * inv;
+  out[0][1] = out[1][0] = (c * e - b * f) * inv;
+  out[0][2] = out[2][0] = (b * e - c * d) * inv;
+  out[1][1] = (a * f - c * c) * inv;
+  out[1][2] = out[2][1] = (b * c - a * e) * inv;
+  out[2][2] = (a * d - b * b) * inv;
 }
 
 // solve 6x6 SPD system in-place via Cholesky; returns false if singular
@@ -279,7 +306,164 @@ void nsc_estimate_normals(const float* pts, int n, int k, float grid_cell,
   }
 }
 
-// Gauss-Newton ICP (point-to-point) / GICP-style (point-to-plane).
+// GICP-regularized per-point covariances (Segal et al. 2009, as used by
+// Open3D's TransformationEstimationForGeneralizedICP — reference
+// geometric_verification.py:96-117): kNN-PCA covariance with its
+// eigenvalues replaced by (1, 1, eps) — a disk orthogonal to the local
+// normal. out is n row-major 3x3 matrices (9 floats per point).
+void nsc_estimate_covariances(const float* pts, int n, int k,
+                              float grid_cell, float eps, float* out) {
+  Grid grid;
+  grid.build(pts, n, grid_cell);
+  std::vector<int> cand;
+  std::vector<std::pair<float, int>> dist;
+  for (int i = 0; i < n; i++) {
+    const float* q = &pts[3 * i];
+    grid.candidates(q, k, cand);
+    dist.clear();
+    for (int j : cand) {
+      float dx = pts[3 * j] - q[0], dy = pts[3 * j + 1] - q[1],
+            dz = pts[3 * j + 2] - q[2];
+      dist.push_back({dx * dx + dy * dy + dz * dz, j});
+    }
+    int kk = std::min((int)dist.size(), k);
+    std::partial_sort(dist.begin(), dist.begin() + kk, dist.end());
+    double mx = 0, my = 0, mz = 0;
+    for (int t = 0; t < kk; t++) {
+      int j = dist[t].second;
+      mx += pts[3 * j]; my += pts[3 * j + 1]; mz += pts[3 * j + 2];
+    }
+    if (kk > 0) { mx /= kk; my /= kk; mz /= kk; }
+    double C[3][3] = {};
+    for (int t = 0; t < kk; t++) {
+      int j = dist[t].second;
+      double cx = pts[3 * j] - mx, cy = pts[3 * j + 1] - my,
+             cz = pts[3 * j + 2] - mz;
+      C[0][0] += cx * cx; C[0][1] += cx * cy; C[0][2] += cx * cz;
+      C[1][1] += cy * cy; C[1][2] += cy * cz; C[2][2] += cz * cz;
+    }
+    C[1][0] = C[0][1]; C[2][0] = C[0][2]; C[2][1] = C[1][2];
+    double V[3][3];
+    jacobi_eig3(C, V);
+    // rank eigenvalues: the two largest directions get 1, smallest gets eps
+    double ev[3] = {C[0][0], C[1][1], C[2][2]};
+    int mi = 0;
+    if (ev[1] < ev[mi]) mi = 1;
+    if (ev[2] < ev[mi]) mi = 2;
+    // C_reg = sum_r d_r * v_r v_r^T with d = 1 except eps on the normal
+    double Cr[3][3] = {};
+    for (int r = 0; r < 3; r++) {
+      double d = (r == mi) ? (double)eps : 1.0;
+      for (int a = 0; a < 3; a++)
+        for (int c = 0; c < 3; c++) Cr[a][c] += d * V[a][r] * V[c][r];
+    }
+    for (int a = 0; a < 3; a++)
+      for (int c = 0; c < 3; c++) out[9 * i + 3 * a + c] = (float)Cr[a][c];
+  }
+}
+
+// Generalized ICP (Segal et al.): Gauss-Newton on the Mahalanobis residual
+// r^T (C_q + R C_p R^T)^{-1} r per correspondence — the formulation behind
+// Open3D's registration_generalized_icp (reference
+// geometric_verification.py:96-133). cov_src/cov_dst are the regularized
+// per-point covariances from nsc_estimate_covariances. fitness/rmse are the
+// same point-point inlier statistics as nsc_icp (Open3D reports these too).
+void nsc_gicp(const float* src, int ns, const float* cov_src,
+              const float* dst, int nd, const float* cov_dst,
+              const float* T_init, int max_iters, float max_corr,
+              float* T_out, float* fitness, float* rmse) {
+  float T[16];
+  std::memcpy(T, T_init, sizeof(T));
+  Grid grid;
+  grid.build(dst, nd, max_corr);
+
+  for (int iter = 0; iter < max_iters; iter++) {
+    double A[6][6] = {}, b[6] = {};
+    int inliers = 0;
+    const double R[3][3] = {{T[0], T[1], T[2]},
+                            {T[4], T[5], T[6]},
+                            {T[8], T[9], T[10]}};
+    for (int i = 0; i < ns; i++) {
+      float p[3] = {src[3 * i], src[3 * i + 1], src[3 * i + 2]};
+      float tp[3] = {
+          T[0] * p[0] + T[1] * p[1] + T[2] * p[2] + T[3],
+          T[4] * p[0] + T[5] * p[1] + T[6] * p[2] + T[7],
+          T[8] * p[0] + T[9] * p[1] + T[10] * p[2] + T[11]};
+      int j = grid.nearest(tp, max_corr);
+      if (j < 0) continue;
+      inliers++;
+      const float* q = &dst[3 * j];
+      double r[3] = {tp[0] - q[0], tp[1] - q[1], tp[2] - q[2]};
+      // S = C_q + R C_p R^T ; M = S^{-1}
+      const float* Cp = &cov_src[9 * i];
+      const float* Cq = &cov_dst[9 * j];
+      double RC[3][3];
+      for (int a = 0; a < 3; a++)
+        for (int c = 0; c < 3; c++) {
+          double s = 0;
+          for (int k = 0; k < 3; k++) s += R[a][k] * Cp[3 * k + c];
+          RC[a][c] = s;
+        }
+      double S[3][3];
+      for (int a = 0; a < 3; a++)
+        for (int c = 0; c < 3; c++) {
+          double s = 0;
+          for (int k = 0; k < 3; k++) s += RC[a][k] * R[c][k];
+          S[a][c] = Cq[3 * a + c] + s;
+        }
+      double M[3][3];
+      inv3_sym(S, M);
+      // J (3x6) = [ -[tp]x | I ] row-blocks
+      double J[3][6] = {{0, tp[2], -tp[1], 1, 0, 0},
+                        {-tp[2], 0, tp[0], 0, 1, 0},
+                        {tp[1], -tp[0], 0, 0, 0, 1}};
+      // A += J^T M J ; b -= J^T M r
+      double MJ[3][6], Mr[3];
+      for (int a = 0; a < 3; a++) {
+        Mr[a] = M[a][0] * r[0] + M[a][1] * r[1] + M[a][2] * r[2];
+        for (int c = 0; c < 6; c++)
+          MJ[a][c] = M[a][0] * J[0][c] + M[a][1] * J[1][c] +
+                     M[a][2] * J[2][c];
+      }
+      for (int a = 0; a < 6; a++) {
+        b[a] -= J[0][a] * Mr[0] + J[1][a] * Mr[1] + J[2][a] * Mr[2];
+        for (int c = a; c < 6; c++)
+          A[a][c] += J[0][a] * MJ[0][c] + J[1][a] * MJ[1][c] +
+                     J[2][a] * MJ[2][c];
+      }
+    }
+    if (inliers < 6) break;
+    for (int a = 0; a < 6; a++)
+      for (int c = 0; c < a; c++) A[a][c] = A[c][a];
+    double xi[6];
+    if (!solve6(A, b, xi)) break;
+    se3_update(xi, T);
+    double step = 0;
+    for (int a = 0; a < 6; a++) step += xi[a] * xi[a];
+    if (step < 1e-14) break;
+  }
+  std::memcpy(T_out, T, sizeof(T));
+  // final point-point inlier statistics of T_out
+  int inliers = 0;
+  double sq_sum = 0;
+  for (int i = 0; i < ns; i++) {
+    float p[3] = {src[3 * i], src[3 * i + 1], src[3 * i + 2]};
+    float tp[3] = {
+        T[0] * p[0] + T[1] * p[1] + T[2] * p[2] + T[3],
+        T[4] * p[0] + T[5] * p[1] + T[6] * p[2] + T[7],
+        T[8] * p[0] + T[9] * p[1] + T[10] * p[2] + T[11]};
+    int j = grid.nearest(tp, max_corr);
+    if (j < 0) continue;
+    const float* q = &dst[3 * j];
+    double dx = tp[0] - q[0], dy = tp[1] - q[1], dz = tp[2] - q[2];
+    inliers++;
+    sq_sum += dx * dx + dy * dy + dz * dz;
+  }
+  *fitness = ns > 0 ? (float)((double)inliers / ns) : 0.0f;
+  *rmse = inliers > 0 ? (float)std::sqrt(sq_sum / inliers) : 0.0f;
+}
+
+// Gauss-Newton ICP (point-to-point) / point-to-plane.
 // src (ns,3), dst (nd,3), normals (nd,3) or null for p2p, T row-major 4x4
 // in/out. fitness = inliers/ns, rmse over inlier point-point distances —
 // same accept statistics as the reference (geometric_verification.py:133).

@@ -56,10 +56,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.nsc_estimate_normals.restype = None
         lib.nsc_estimate_normals.argtypes = [
             _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, _f32p]
+        lib.nsc_estimate_covariances.restype = None
+        lib.nsc_estimate_covariances.argtypes = [
+            _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.c_float, _f32p]
         lib.nsc_icp.restype = None
         lib.nsc_icp.argtypes = [
             _f32p, ctypes.c_int, _f32p, ctypes.c_int, _f32p, _f32p,
             ctypes.c_int, ctypes.c_float, _f32p, _f32p, _f32p]
+        lib.nsc_gicp.restype = None
+        lib.nsc_gicp.argtypes = [
+            _f32p, ctypes.c_int, _f32p, _f32p, ctypes.c_int, _f32p,
+            _f32p, ctypes.c_int, ctypes.c_float, _f32p, _f32p, _f32p]
         lib.nsc_voxel_overlap.restype = ctypes.c_float
         lib.nsc_voxel_overlap.argtypes = [
             _f32p, ctypes.c_int, _f32p, ctypes.c_int, _f32p,
@@ -120,6 +128,43 @@ def icp(src: np.ndarray, dst: np.ndarray,
                 _ptr(nrm) if nrm is not None else None,
                 _ptr(T0), max_iterations, max_correspondence,
                 _ptr(T_out), ctypes.byref(fit), ctypes.byref(rmse))
+    return T_out.reshape(4, 4).astype(np.float64), fit.value, rmse.value
+
+
+def estimate_covariances(points: np.ndarray, k: int = 20,
+                         grid_cell: float = 0.6,
+                         eps: float = 1e-3) -> np.ndarray:
+    """GICP disk-regularized per-point covariances, (n, 3, 3)."""
+    lib = _load()
+    assert lib is not None
+    pts = _c3(points)
+    out = np.empty((len(pts), 3, 3), np.float32)
+    lib.nsc_estimate_covariances(_ptr(pts), len(pts), k, grid_cell, eps,
+                                 _ptr(out))
+    return out
+
+
+def gicp(src: np.ndarray, dst: np.ndarray, cov_src: np.ndarray,
+         cov_dst: np.ndarray, init: Optional[np.ndarray] = None,
+         max_iterations: int = 30, max_correspondence: float = 1.0
+         ) -> Tuple[np.ndarray, float, float]:
+    """Generalized ICP (covariance-weighted Gauss-Newton).
+
+    Returns (T (4,4), fitness, inlier_rmse) with the same point-point
+    inlier statistics as :func:`icp`."""
+    lib = _load()
+    assert lib is not None
+    s, d = _c3(src), _c3(dst)
+    cs = np.ascontiguousarray(cov_src, np.float32)
+    cd = np.ascontiguousarray(cov_dst, np.float32)
+    T0 = np.ascontiguousarray(
+        init if init is not None else np.eye(4), np.float32)
+    T_out = np.empty(16, np.float32)
+    fit = ctypes.c_float()
+    rmse = ctypes.c_float()
+    lib.nsc_gicp(_ptr(s), len(s), _ptr(cs), _ptr(d), len(d), _ptr(cd),
+                 _ptr(T0), max_iterations, max_correspondence,
+                 _ptr(T_out), ctypes.byref(fit), ctypes.byref(rmse))
     return T_out.reshape(4, 4).astype(np.float64), fit.value, rmse.value
 
 

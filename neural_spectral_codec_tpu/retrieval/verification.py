@@ -11,10 +11,13 @@ downsampled clouds are ≤4096 points, so the (P,Q) matrix is small for the
 MXU), and a `lax.fori_loop` over ICP iterations:
 
   * ``method="icp"``  — point-to-point via weighted Kabsch (SVD) per step.
-  * ``method="gicp"`` — plane-aware: k-NN PCA normals on the target +
-    point-to-plane Gauss-Newton steps (the same family of geometry Open3D's
-    GICP exploits; exact GICP covariance weighting is a planned native-C++
-    backend).
+  * ``method="point_to_plane"`` — k-NN PCA normals on the target +
+    point-to-plane Gauss-Newton steps.
+  * ``method="gicp"`` — true generalized ICP (Segal et al. 2009, the
+    formulation behind Open3D's ``registration_generalized_icp``): per-point
+    disk-regularized covariances ``C = V diag(1,1,ε) Vᵀ`` from k-NN PCA on
+    BOTH clouds, Gauss-Newton on the Mahalanobis residual
+    ``rᵀ (C_q + R C_p Rᵀ)⁻¹ r``.
 
 Accept thresholds, fitness (inlier fraction of source points), RMSE, and
 the information-matrix heuristic match the reference contract.
@@ -60,18 +63,37 @@ def _pad(points: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
     return out, m
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _knn_normals(pts: jnp.ndarray, mask: jnp.ndarray, k: int = 16) -> jnp.ndarray:
-    """Unit normals per point from k-NN PCA (smallest eigenvector)."""
+def _knn_cov_matrices(pts: jnp.ndarray, mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Raw k-NN PCA covariance per point, (P, 3, 3)."""
     d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
     d2 = jnp.where(mask[None, :], d2, jnp.inf)
     _, idx = jax.lax.top_k(-d2, k)          # (P, k) nearest incl. self
     nbr = pts[idx]                          # (P, k, 3)
     mean = jnp.mean(nbr, axis=1, keepdims=True)
     c = nbr - mean
-    cov = jnp.einsum("pki,pkj->pij", c, c) / k
+    return jnp.einsum("pki,pkj->pij", c, c) / k
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _knn_normals(pts: jnp.ndarray, mask: jnp.ndarray, k: int = 16) -> jnp.ndarray:
+    """Unit normals per point from k-NN PCA (smallest eigenvector)."""
+    cov = _knn_cov_matrices(pts, mask, k)
     _, vecs = jnp.linalg.eigh(cov)          # ascending eigenvalues
     return vecs[:, :, 0]                    # smallest-eigenvalue direction
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _knn_covariances(pts: jnp.ndarray, mask: jnp.ndarray, k: int = 20,
+                     eps: float = 1e-3) -> jnp.ndarray:
+    """GICP disk-regularized covariances: eigenvalues → (ε, 1, 1).
+
+    Matches Open3D's TransformationEstimationForGeneralizedICP covariance
+    model (reference geometric_verification.py:96-117): the local normal
+    direction is squashed to ε, the in-surface directions to 1."""
+    cov = _knn_cov_matrices(pts, mask, k)
+    _, vecs = jnp.linalg.eigh(cov)          # ascending eigenvalues
+    d = jnp.array([eps, 1.0, 1.0], cov.dtype)
+    return jnp.einsum("pij,j,pkj->pik", vecs, d, vecs)
 
 
 def _transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
@@ -91,11 +113,12 @@ def _se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     return T
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
-def _icp_kernel(src, src_mask, dst, dst_mask, normals, init_T,
-                max_iterations: int, point_to_plane: bool,
+@functools.partial(jax.jit, static_argnums=(8, 9))
+def _icp_kernel(src, src_mask, dst, dst_mask, normals, cov_src, cov_dst,
+                init_T, max_iterations: int, mode: str,
                 max_corr: float = 1.0):
-    """Fixed-shape ICP. Returns (T, fitness, inlier_rmse)."""
+    """Fixed-shape ICP. mode ∈ {"p2p", "p2l", "gicp"}.
+    Returns (T, fitness, inlier_rmse)."""
     n_src = jnp.maximum(jnp.sum(src_mask), 1)
 
     def correspondences(T):
@@ -134,7 +157,33 @@ def _icp_kernel(src, src_mask, dst, dst_mask, normals, init_T,
         xi = jnp.linalg.solve(A, b)
         return _se3_exp(xi) @ T
 
-    step = p2l_step if point_to_plane else p2p_step
+    def gicp_step(T):
+        """Gauss-Newton on the GICP Mahalanobis residual
+        rᵀ (C_q + R C_p Rᵀ)⁻¹ r (Segal et al. 2009 / Open3D
+        registration_generalized_icp)."""
+        moved, j, dist, w = correspondences(T)
+        q = dst[j]
+        R = T[:3, :3]
+        Cs = jnp.einsum("ab,pbc,dc->pad", R, cov_src, R)
+        S = cov_dst[j] + Cs + 1e-9 * jnp.eye(3)
+        M = jnp.linalg.inv(S)                         # (P, 3, 3)
+        r = moved - q                                 # (P, 3)
+        x, y, z = moved[:, 0], moved[:, 1], moved[:, 2]
+        zero = jnp.zeros_like(x)
+        # J = [ -[moved]ₓ | I ] per point, (P, 3, 6)
+        Jr = jnp.stack([
+            jnp.stack([zero, z, -y], axis=-1),
+            jnp.stack([-z, zero, x], axis=-1),
+            jnp.stack([y, -x, zero], axis=-1)], axis=1)
+        I3 = jnp.broadcast_to(jnp.eye(3), Jr.shape)
+        J = jnp.concatenate([Jr, I3], axis=2)         # (P, 3, 6)
+        MJ = jnp.einsum("pij,pjb->pib", M, J)
+        A = jnp.einsum("p,pia,pib->ab", w, J, MJ) + 1e-9 * jnp.eye(6)
+        b = -jnp.einsum("p,pib,pi->b", w, MJ, r)
+        xi = jnp.linalg.solve(A, b)
+        return _se3_exp(xi) @ T
+
+    step = {"p2p": p2p_step, "p2l": p2l_step, "gicp": gicp_step}[mode]
     T = jax.lax.fori_loop(0, max_iterations, lambda _, T: step(T), init_T)
 
     _, _, dist, w = correspondences(T)
@@ -152,8 +201,13 @@ class GeometricVerifier:
                  rmse_threshold: float = 0.5, max_iterations: int = 30,
                  voxel_downsample: float = 0.3,
                  max_correspondence_distance: float = 1.0,
-                 max_points: int = 4096, backend: str = "auto"):
+                 max_points: int = 4096, backend: str = "auto",
+                 gicp_epsilon: float = 1e-3, covariance_knn: int = 20):
+        if method not in ("icp", "point_to_plane", "gicp"):
+            raise ValueError(f"unknown verification method: {method}")
         self.method = method
+        self.gicp_epsilon = gicp_epsilon
+        self.covariance_knn = covariance_knn
         self.fitness_threshold = fitness_threshold
         self.rmse_threshold = rmse_threshold
         self.max_iterations = max_iterations
@@ -196,13 +250,26 @@ class GeometricVerifier:
             info = {"fitness": 0.0, "rmse": float("inf"),
                     "information_matrix": self._information_matrix(0.0)}
             return False, None, info
-        normals = (native.estimate_normals(
-            dst, k=16, grid_cell=2 * self.voxel_downsample)
-            if self.method == "gicp" else None)
-        T, fitness, rmse = native.icp(
-            src, dst, normals=normals, init=initial_transform,
-            max_iterations=self.max_iterations,
-            max_correspondence=self.max_correspondence_distance)
+        if self.method == "gicp":
+            cell = 2 * self.voxel_downsample
+            cov_s = native.estimate_covariances(
+                src, k=self.covariance_knn, grid_cell=cell,
+                eps=self.gicp_epsilon)
+            cov_d = native.estimate_covariances(
+                dst, k=self.covariance_knn, grid_cell=cell,
+                eps=self.gicp_epsilon)
+            T, fitness, rmse = native.gicp(
+                src, dst, cov_s, cov_d, init=initial_transform,
+                max_iterations=self.max_iterations,
+                max_correspondence=self.max_correspondence_distance)
+        else:
+            normals = (native.estimate_normals(
+                dst, k=16, grid_cell=2 * self.voxel_downsample)
+                if self.method == "point_to_plane" else None)
+            T, fitness, rmse = native.icp(
+                src, dst, normals=normals, init=initial_transform,
+                max_iterations=self.max_iterations,
+                max_correspondence=self.max_correspondence_distance)
         info = {"fitness": fitness, "rmse": rmse,
                 "information_matrix": self._information_matrix(fitness)}
         verified = (fitness >= self.fitness_threshold
@@ -219,14 +286,22 @@ class GeometricVerifier:
         init = np.eye(4, dtype=np.float32) if initial_transform is None \
             else np.asarray(initial_transform, np.float32)
 
-        p2l = self.method == "gicp"
-        normals = (_knn_normals(jnp.asarray(dst_p), jnp.asarray(dst_m))
-                   if p2l else jnp.zeros_like(jnp.asarray(dst_p)))
+        mode = {"icp": "p2p", "point_to_plane": "p2l",
+                "gicp": "gicp"}[self.method]
+        sp, sm = jnp.asarray(src_p), jnp.asarray(src_m)
+        dp, dm = jnp.asarray(dst_p), jnp.asarray(dst_m)
+        normals = (_knn_normals(dp, dm) if mode == "p2l"
+                   else jnp.zeros_like(dp))
+        zc = jnp.zeros((self.max_points, 3, 3), jnp.float32)
+        cov_s = (_knn_covariances(sp, sm, self.covariance_knn,
+                                  self.gicp_epsilon)
+                 if mode == "gicp" else zc)
+        cov_d = (_knn_covariances(dp, dm, self.covariance_knn,
+                                  self.gicp_epsilon)
+                 if mode == "gicp" else zc)
         T, fitness, rmse = _icp_kernel(
-            jnp.asarray(src_p), jnp.asarray(src_m),
-            jnp.asarray(dst_p), jnp.asarray(dst_m),
-            normals, jnp.asarray(init),
-            self.max_iterations, p2l, self.max_correspondence_distance)
+            sp, sm, dp, dm, normals, cov_s, cov_d, jnp.asarray(init),
+            self.max_iterations, mode, self.max_correspondence_distance)
         T = np.asarray(T, np.float64)
         fitness = float(fitness)
         rmse = float(rmse)

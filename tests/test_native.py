@@ -53,6 +53,61 @@ def test_icp_recovers_known_transform(rng, use_normals):
     assert fit > 0.95 and rmse < 0.05
 
 
+def test_covariances_disk_regularized(rng):
+    """GICP covariances on a plane: eigenvalues {ε, 1, 1}, ε-direction ⟂
+    the plane — mirrors the JAX _knn_covariances contract."""
+    pts = np.concatenate([
+        rng.uniform(-10, 10, (2000, 2)).astype(np.float32),
+        np.zeros((2000, 1), np.float32)], axis=1)
+    cov = native.estimate_covariances(pts, k=20, grid_cell=1.0, eps=1e-3)
+    w, v = np.linalg.eigh(cov.astype(np.float64))
+    np.testing.assert_allclose(w[:, 0], 1e-3, rtol=1e-2)
+    np.testing.assert_allclose(w[:, 1:], 1.0, rtol=1e-2)
+    assert (np.abs(v[:, 2, 0]) > 0.99).mean() > 0.95
+
+
+def test_gicp_recovers_known_transform(rng):
+    base = _cloud(rng, 3000)
+    th = 0.04
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    t = np.array([0.4, -0.25, 0.15], np.float32)
+    src = base @ R.T + t
+    cov_s = native.estimate_covariances(src, k=20, grid_cell=2.0)
+    cov_d = native.estimate_covariances(base, k=20, grid_cell=2.0)
+    T, fit, rmse = native.gicp(src, base, cov_s, cov_d, max_iterations=30)
+    T_true = np.eye(4)
+    T_true[:3, :3], T_true[:3, 3] = R, t
+    np.testing.assert_allclose(T @ T_true, np.eye(4), atol=5e-3)
+    assert fit > 0.95 and rmse < 0.05
+
+
+def test_gicp_native_matches_jax_kernel(rng):
+    """Same inputs (points + covariances) through the native GN loop and
+    the fixed-shape JAX kernel must land on the same transform."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.retrieval.verification import (
+        _icp_kernel, _pad)
+    base = _cloud(rng, 1500, extent=15.0)
+    th = 0.03
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    src = base @ R.T + np.array([0.3, -0.2, 0.1], np.float32)
+    cov_s = native.estimate_covariances(src, k=20, grid_cell=2.0)
+    cov_d = native.estimate_covariances(base, k=20, grid_cell=2.0)
+    T_nat, fit_nat, _ = native.gicp(src, base, cov_s, cov_d,
+                                    max_iterations=25)
+    n = len(base)
+    sp, sm = _pad(src, n)
+    dp, dm = _pad(base, n)
+    T_jax, fit_jax, _ = _icp_kernel(
+        jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(dp), jnp.asarray(dm),
+        jnp.zeros((n, 3)), jnp.asarray(cov_s), jnp.asarray(cov_d),
+        jnp.eye(4), 25, "gicp", 1.0)
+    np.testing.assert_allclose(np.asarray(T_jax), T_nat, atol=2e-3)
+    assert abs(float(fit_jax) - fit_nat) < 0.02
+
+
 def test_icp_rejects_unrelated_clouds(rng):
     a = _cloud(rng, 2000)
     b = _cloud(rng, 2000) + np.array([500.0, 0, 0], np.float32)
