@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
+from neural_spectral_codec_tpu.retrieval.retriever import _topk_smallest
 
 
 def _make_query_fn(mesh: Mesh, top_k: int, metric: str = "wasserstein"):
@@ -47,7 +48,9 @@ def _make_query_fn(mesh: Mesh, top_k: int, metric: str = "wasserstein"):
         masked = jnp.where(
             invalid | ((qp[:, 3:4] > 0) & spatial), jnp.inf, dists)
         k = min(top_k, n_local)
-        neg_local, idx_local = jax.lax.top_k(-masked, k)      # (Q, k)
+        dist_local, idx_local = _topk_smallest(masked, k)     # (Q, k)
+        idx_local = jnp.minimum(idx_local, n_local - 1)
+        neg_local = -dist_local
         # one small all-gather over ICI: (n_dev, Q, k) each
         all_neg = jax.lax.all_gather(neg_local, "data")
         all_idx = jax.lax.all_gather(

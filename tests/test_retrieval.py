@@ -356,3 +356,27 @@ def test_exclude_last_temporal_window(rng):
     idx, _ = r.query(h[29], top_k=30, exclude_last=10)
     assert idx.max() < 20           # last 10 rows excluded
     assert len(idx) == 20
+
+
+def test_tiled_topk_exact(rng):
+    """_topk_smallest (TPU-fast two-phase tiled top-k) must be EXACT vs
+    lax.top_k, including inf-masked entries, batch dims, ties, and sizes
+    that don't divide the tile."""
+    import jax
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.retrieval.retriever import _topk_smallest
+
+    for n, k, batch in [(100_000, 10, None), (5000, 7, None),
+                        (4097, 16, None), (100, 5, None),
+                        (10_000, 10, 4)]:
+        shape = (n,) if batch is None else (batch, n)
+        d = rng.uniform(0, 1, shape).astype(np.float32)
+        d[..., : n // 100] = np.inf          # masked entries
+        d[..., n // 2] = d[..., 0]           # a tie
+        got_v, got_i = _topk_smallest(jnp.asarray(d), k)
+        ref_nv, ref_i = jax.lax.top_k(-jnp.asarray(d), k)
+        np.testing.assert_array_equal(np.asarray(got_v), -np.asarray(ref_nv))
+        # indices may differ on exact ties; values at indices must match
+        np.testing.assert_array_equal(
+            np.take_along_axis(d, np.asarray(got_i), -1),
+            np.take_along_axis(d, np.asarray(ref_i), -1))
