@@ -17,6 +17,11 @@ from neural_spectral_codec_tpu.ops.spectral import (  # noqa: F401
     encode_points,
     encode_points_batch,
 )
+from neural_spectral_codec_tpu.ops.quantization import (  # noqa: F401
+    HistogramQuantizer,
+    quantize,
+    dequantize,
+)
 from neural_spectral_codec_tpu.ops.wasserstein import (  # noqa: F401
     wasserstein_1d,
     wasserstein_batch,

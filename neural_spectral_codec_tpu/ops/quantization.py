@@ -69,6 +69,30 @@ def dequantize(quantized: jnp.ndarray, epsilon: float = 1e-8) -> jnp.ndarray:
     return jnp.where(s > epsilon, h / (s + epsilon), uniform)
 
 
+class HistogramQuantizer:
+    """Class-style surface over :func:`quantize` / :func:`dequantize`
+    (reference quantization.py:112-192 ships this API; the functional
+    kernels above are the batched device implementations)."""
+
+    def __init__(self, n_bins: int = 50, epsilon: float = 1e-8):
+        self.n_bins = n_bins
+        self.epsilon = epsilon
+
+    def quantize(self, histogram: np.ndarray) -> np.ndarray:
+        h = np.asarray(histogram, np.float32)
+        if h.shape[-1] != self.n_bins:
+            raise ValueError(
+                f"expected {self.n_bins}-bin histogram, got {h.shape[-1]}")
+        return np.asarray(quantize(jnp.asarray(h), self.epsilon))
+
+    def dequantize(self, quantized: np.ndarray) -> np.ndarray:
+        q = np.asarray(quantized, np.uint16)
+        if q.shape[-1] != self.n_bins:
+            raise ValueError(
+                f"expected {self.n_bins}-bin histogram, got {q.shape[-1]}")
+        return np.asarray(dequantize(jnp.asarray(q), self.epsilon))
+
+
 # ---------------------------------------------------------------------------
 # SE(3) ↔ 7-DoF (host numpy; closed-form quaternion, no scipy dependency on
 # the hot path). Reference quantization.py:215-284 uses scipy Rotation.

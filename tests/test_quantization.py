@@ -94,3 +94,31 @@ def test_database_file_roundtrip(rng, tmp_path):
     for a, b in zip(descs, back):
         np.testing.assert_array_equal(a.histogram, b.histogram)
         assert a.keyframe_id == b.keyframe_id
+
+
+def test_histogram_quantizer_class_matches_reference(rng):
+    import pytest
+    """Class-style surface (reference quantization.py:112-192): round-trip
+    and bit-equality with the reference HistogramQuantizer when mounted."""
+    from neural_spectral_codec_tpu.ops import HistogramQuantizer
+
+    hq = HistogramQuantizer(n_bins=50)
+    h = rng.random(50).astype(np.float32)
+    h /= h.sum()
+    q = hq.quantize(h)
+    assert q.dtype == np.uint16 and int(q.sum()) == 65535
+    back = hq.dequantize(q)
+    np.testing.assert_allclose(back, h, atol=2e-4)
+    with pytest.raises(ValueError):
+        hq.quantize(np.ones(49, np.float32))
+
+    import sys
+    from pathlib import Path
+    ref_src = Path("/root/reference/src")
+    if ref_src.exists():
+        sys.path.insert(0, str(ref_src))
+        from encoding.quantization import HistogramQuantizer as RefHQ
+        ref = RefHQ(n_bins=50)
+        np.testing.assert_array_equal(q, ref.quantize(h))
+        np.testing.assert_allclose(back, ref.dequantize(ref.quantize(h)),
+                                   atol=1e-7)
