@@ -100,8 +100,9 @@ def main():
     print(f"full density N={FULL_N}: {full_us:.2f} us/scan = "
           f"{full_sps:.0f} scans/s "
           f"({full_sps * FULL_N * 16 / 1e9:.1f} GB/s input stream; the "
-          f"packed 1-key sort is ~60% of runtime and makes ~2x log2(N) "
-          f"passes, so effective HBM traffic is ~40x the input bytes)",
+          f"packed 1-key sort is now ~2/3 of runtime — the post-sort "
+          f"densification runs inside VMEM-resident Pallas kernels "
+          f"(ops/pallas_compact.py) so it no longer round-trips HBM)",
           file=sys.stderr)
 
     print(json.dumps({

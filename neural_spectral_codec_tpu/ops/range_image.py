@@ -239,19 +239,119 @@ def _monotone_expand(payloads, flag, disp, n_stages: int):
     return payloads, flag
 
 
+_CHUNK_MAX = 36864   # max compaction-kernel chunk width (VMEM budget)
+
+
+def _densify_vmem(sorted_idx: jnp.ndarray, run_min: jnp.ndarray,
+                  start: jnp.ndarray, n_pix: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Run starts → dense image with every butterfly stage in VMEM.
+
+    Level-0 chunks of ≤ _CHUNK_MAX lanes are compacted independently
+    (exact: the global sort makes each pixel's run contiguous, so GLOBAL
+    run starts compact chunk-locally; cross-chunk rank offsets come from
+    cheap per-chunk counts), then pairwise-merged — each merge is again a
+    monotone compaction of two disjoint ascending pixel ranges — and
+    finally butterfly-expanded to the dense image. HBM sees one read of
+    (val, pix) and one image write instead of ~2·log2(N) round-trips.
+    """
+    from neural_spectral_codec_tpu.ops.pallas_compact import compact_pallas
+    from neural_spectral_codec_tpu.ops.pallas_densify import expand_pallas
+
+    b, n = sorted_idx.shape
+    pixf = jnp.where(start, sorted_idx.astype(jnp.float32), -1.0)
+    valz = jnp.where(start, run_min, 0.0)
+
+    n_chunks = 1
+    while -(-n // n_chunks) > _CHUNK_MAX:
+        n_chunks *= 2
+    c = (-(-n // n_chunks) + 127) // 128 * 128
+    mpad = n_chunks * c
+    if mpad > n:
+        pixf = jnp.pad(pixf, ((0, 0), (0, mpad - n)), constant_values=-1.0)
+        valz = jnp.pad(valz, ((0, 0), (0, mpad - n)))
+
+    counts = (pixf >= 0).reshape(b, n_chunks, c).sum(-1).astype(jnp.float32)
+    offsets = jnp.cumsum(counts, axis=1) - counts
+
+    n_out = min(n_pix, c)
+    val_c, expd_c = compact_pallas(valz, pixf, offsets, n_out,
+                                   first_level=True, interpret=interpret)
+    while n_chunks > 1:
+        n_chunks //= 2
+        n_next = min(n_pix, 2 * n_out)
+        val_c, expd_c = compact_pallas(
+            val_c, expd_c, jnp.zeros((b, n_chunks), jnp.float32), n_next,
+            first_level=False, interpret=interpret)
+        n_out = n_next
+    if n_out < n_pix:
+        val_c = jnp.pad(val_c, ((0, 0), (0, n_pix - n_out)))
+        expd_c = jnp.pad(expd_c, ((0, 0), (0, n_pix - n_out)),
+                         constant_values=-1.0)
+
+    flag = (expd_c >= 0).astype(jnp.float32)
+    return expand_pallas(val_c, jnp.maximum(expd_c, 0.0), flag, n_pix,
+                         interpret=interpret)
+
+
+def _densify_xla(sorted_idx: jnp.ndarray, run_min: jnp.ndarray,
+                 start: jnp.ndarray, n_pix: int) -> jnp.ndarray:
+    """Pure-XLA densification fallback (CPU tests / unaligned geometries):
+    Hillis-Steele prefix rank + LSB-first leftward butterfly compaction,
+    then MSB-first rightward expansion. Bit-identical to _densify_vmem."""
+    n_points = sorted_idx.shape[1]
+
+    def compact(sorted_idx, run_min, start):
+        incl = start.astype(jnp.int32)
+        shift = 1
+        while shift < incl.shape[-1]:
+            incl = incl + jnp.where(
+                jnp.arange(incl.shape[-1]) >= shift,
+                jnp.roll(incl, shift, axis=-1), 0)
+            shift *= 2
+        rank = incl - start.astype(jnp.int32)
+        pos = jnp.arange(start.shape[-1], dtype=jnp.int32)
+        disp = jnp.where(start, pos - rank, 0)
+        (pix_c, val_c), flag_c = _monotone_compact_left(
+            (sorted_idx, run_min), start, disp,
+            max((start.shape[-1] - 1).bit_length(), 1))
+        return jnp.where(flag_c, pix_c, jnp.int32(1 << 29)), val_c
+
+    cpix, cval = jax.vmap(compact)(sorted_idx, run_min, start)
+
+    # all real entries (unique ascending pixels, ≤ one per pixel) sit in
+    # the first min(n_points, n_pix) slots — slice before expanding so
+    # expansion cost is set by the IMAGE size, not the point density
+    L = min(n_points, n_pix)
+    cpix = cpix[:, :L]
+    cval = cval[:, :L]
+
+    m = n_pix + (-n_pix) % 128
+    pad = m - L
+    cflag = cpix < n_pix
+    cval = jnp.where(cflag, cval, 0.0)
+    pos = jnp.arange(L, dtype=jnp.int32)
+    disp = jnp.pad(jnp.where(cflag, cpix - pos, 0), ((0, 0), (0, pad)))
+    cval = jnp.pad(cval, ((0, 0), (0, pad)))
+    cflag = jnp.pad(cflag, ((0, 0), (0, pad)))
+    (img,), _ = _monotone_expand((cval,), cflag, disp,
+                                 max(n_pix.bit_length(), 1))
+    return img[:, :n_pix]
+
+
 def _project_points_batch_compact(points: jnp.ndarray,
                                   config: ProjectionConfig) -> jnp.ndarray:
     """Scatter-free batched projection (TPU path).
 
     After the segment-min sort, run starts (one per occupied pixel) are
-    COMPACTED by a second single-key sort into unique ascending pixels,
-    then EXPANDED to their dense pixel slots by a butterfly pass
-    (_monotone_expand). Sorts and rolls are the only data movers — this
-    replaces XLA's unique-indices scatter (~6 ns/element ≈ 26 ms per
-    256-scan batch) bit-identically.
+    COMPACTED into a dense prefix and EXPANDED to their pixel slots by
+    butterfly roll+select passes. Sorts and rolls are the only data movers
+    — this replaces XLA's unique-indices scatter (~6 ns/element ≈ 26 ms
+    per 256-scan batch) bit-identically. On TPU the whole post-sort chain
+    runs inside VMEM-resident Pallas kernels (see _densify_vmem).
     """
     n_pix = config.n_elevation * config.n_azimuth
-    b, n_points = points.shape[0], points.shape[1]
+    b = points.shape[0]
 
     rng, azimuth, elevation, finite = _spherical(points)
     valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
@@ -268,64 +368,16 @@ def _project_points_batch_compact(points: jnp.ndarray,
                            n_pix).astype(jnp.int32)
     vals = jnp.where(valid, rng, jnp.inf).astype(jnp.float32)
 
-    def compact(idx_row, val_row):
-        sorted_idx, run_min, is_start = _segment_min_sorted(
-            idx_row, val_row, config.max_range, n_pix)
-        start = is_start & (sorted_idx < n_pix)
-        # Run starts appear in ascending pixel order already, so collecting
-        # them is a MONOTONE compaction — rank via a Hillis-Steele prefix
-        # count (log2 shifted adds) + LSB-first leftward butterfly, which
-        # is ~2x cheaper than the second lax.sort it replaces (rolls fuse;
-        # sorts do not).
-        incl = start.astype(jnp.int32)
-        shift = 1
-        while shift < incl.shape[-1]:
-            incl = incl + jnp.where(
-                jnp.arange(incl.shape[-1]) >= shift,
-                jnp.roll(incl, shift, axis=-1), 0)
-            shift *= 2
-        rank = incl - start.astype(jnp.int32)
-        pos = jnp.arange(start.shape[-1], dtype=jnp.int32)
-        disp = jnp.where(start, pos - rank, 0)
-        (pix_c, val_c), flag_c = _monotone_compact_left(
-            (sorted_idx, run_min), start, disp,
-            max((start.shape[-1] - 1).bit_length(), 1))
-        return jnp.where(flag_c, pix_c, jnp.int32(1 << 29)), val_c
+    sorted_idx, run_min, is_start = jax.vmap(
+        lambda i, v: _segment_min_sorted(i, v, config.max_range, n_pix)
+    )(linear_idx, vals)
+    start = is_start & (sorted_idx < n_pix)
 
-    cpix, cval = jax.vmap(compact)(linear_idx, vals)
-
-    # the compaction sort puts all real entries (unique ascending pixel
-    # ids, at most one per pixel) in the first min(n_points, n_pix) slots —
-    # slice before expanding, so expansion cost is set by the IMAGE size,
-    # not the point density (131k-point scans expand the same 23k slots a
-    # 16k-point scan does)
-    L = min(n_points, n_pix)
-    cpix = cpix[:, :L]
-    cval = cval[:, :L]
-
-    # expand compacted entries (unique ascending pixels) to dense slots
-    m = n_pix + (-n_pix) % 128    # lane alignment for the Pallas kernel
-    pad = m - L
-    cflag = cpix < n_pix
-    cval = jnp.where(cflag, cval, 0.0)
-    pos = jnp.arange(L, dtype=jnp.int32)
-    disp = jnp.pad(jnp.where(cflag, cpix - pos, 0), ((0, 0), (0, pad)))
-    cval = jnp.pad(cval, ((0, 0), (0, pad)))
-    cflag = jnp.pad(cflag, ((0, 0), (0, pad)))
-
-    # the Pallas kernel holds 3 f32 arrays of (8, m) in VMEM (~12 B per
-    # element per scan) plus the output block; m == n_pix (23k at the
-    # reference geometry ≈ 2.2 MB) is far under the 16 MB scoped-vmem cap
     if (jax.default_backend() == "tpu" and n_pix % 128 == 0
-            and m <= 120_000):
-        # all butterfly stages in VMEM: one HBM read + one write
-        from neural_spectral_codec_tpu.ops.pallas_densify import expand_pallas
-        img = expand_pallas(cval, disp.astype(jnp.float32),
-                            cflag.astype(jnp.float32), n_pix)
+            and n_pix <= _CHUNK_MAX):
+        img = _densify_vmem(sorted_idx, run_min, start, n_pix)
     else:
-        (img,), _ = _monotone_expand((cval,), cflag, disp,
-                                     max(n_pix.bit_length(), 1))
-        img = img[:, :n_pix]
+        img = _densify_xla(sorted_idx, run_min, start, n_pix)
     return img.reshape(b, config.n_elevation, config.n_azimuth)
 
 

@@ -395,6 +395,41 @@ def test_numpy_encoder_class(rng):
     assert d.shape == (50,)
     np.testing.assert_allclose(d.sum(), 1.0, atol=1e-6)
 
+def test_densify_vmem_matches_xla(rng):
+    """VMEM densification (compact_pallas chunks + merges + expand, in
+    interpret mode) is bit-identical to the pure-XLA butterfly path across
+    single-chunk, multi-chunk, sub-image, and empty-scan shapes."""
+    import jax
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops import range_image as ri
+
+    n_pix = 64 * 360
+    cases = [(4, 4096), (2, 33408), (2, 50000), (1, 133632), (3, 1000)]
+    for B, N in cases:
+        li = rng.integers(0, n_pix + 1, (B, N)).astype(np.int32)
+        vals = np.where(li < n_pix,
+                        rng.uniform(1.0, 80.0, (B, N)),
+                        np.inf).astype(np.float32)
+        sorted_idx, run_min, is_start = jax.vmap(
+            lambda i, v: ri._segment_min_sorted(i, v, 80.0, n_pix)
+        )(jnp.asarray(li), jnp.asarray(vals))
+        start = is_start & (sorted_idx < n_pix)
+        ref = np.asarray(ri._densify_xla(sorted_idx, run_min, start, n_pix))
+        got = np.asarray(ri._densify_vmem(sorted_idx, run_min, start, n_pix,
+                                          interpret=True))
+        np.testing.assert_array_equal(got, ref, err_msg=f"B={B} N={N}")
+
+    # all-invalid scan → all-zero image
+    li = np.full((1, 2048), n_pix, np.int32)
+    vals = np.full((1, 2048), np.inf, np.float32)
+    sorted_idx, run_min, is_start = jax.vmap(
+        lambda i, v: ri._segment_min_sorted(i, v, 80.0, n_pix)
+    )(jnp.asarray(li), jnp.asarray(vals))
+    start = is_start & (sorted_idx < n_pix)
+    out = ri._densify_vmem(sorted_idx, run_min, start, n_pix, interpret=True)
+    assert np.asarray(out).max() == 0.0
+
+
 def test_monotone_compact_left_random(rng):
     """LSB-first leftward butterfly compaction: brute-force random
     instances vs the sort it replaces."""
