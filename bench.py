@@ -68,27 +68,36 @@ def main():
     alpha = jnp.float32(2.0)
 
     def measure(batch, n_points, iters):
+        """Two-point on-device timing: per-iteration time is the slope
+        (t(iters) - t(1)) / (iters - 1), which cancels the constant
+        per-dispatch tunnel/fetch overhead (~30 ms on the axon platform)
+        that a single-count measurement folds into the result."""
         scans = jax.device_put(jnp.asarray(make_scans(batch, n_points)))
 
-        @jax.jit
-        def many(x):
-            def body(i, carry):
-                acc, x = carry
-                out = encode_points_batch(
-                    x + i.astype(jnp.float32) * 0, alpha, config)
-                return (acc + out.ravel()[0], x)
-            acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), x))
-            return acc
+        def timed(n_iters):
+            @jax.jit
+            def many(x):
+                def body(i, carry):
+                    acc, x = carry
+                    out = encode_points_batch(
+                        x + i.astype(jnp.float32) * 0, alpha, config)
+                    return (acc + out.ravel()[0], x)
+                acc, _ = jax.lax.fori_loop(0, n_iters, body,
+                                           (jnp.float32(0), x))
+                return acc
 
-        acc = many(scans)                      # compile + warm
-        assert np.isfinite(float(acc))
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            acc = many(scans)
+            acc = many(scans)                  # compile + warm
             assert np.isfinite(float(acc))
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return batch / best, 1e6 * best / batch
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc = many(scans)
+                assert np.isfinite(float(acc))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per_iter = (timed(iters) - timed(1)) / (iters - 1)
+        return batch / per_iter, 1e6 * per_iter / batch
 
     sps, us = measure(BENCH_B, BENCH_N, iters=30)
     in_gbs = sps * BENCH_N * 16 / 1e9
