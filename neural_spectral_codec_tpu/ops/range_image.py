@@ -470,14 +470,17 @@ def interpolate_range_image(img: jnp.ndarray) -> jnp.ndarray:
 def project_points_with_intensity(
     points: jnp.ndarray, config: ProjectionConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Projection that also returns the intensity image — intensity of the
-    pixel's closest point (reference range_image.py:217-230; the reference
-    tie-breaks equal-range points by max intensity, here ties within one
-    1.2 mm quantization step pick that element's intensity — documented
-    divergence, range values identical).
+    """Projection that also returns the intensity image — the MAX intensity
+    among points whose range exactly ties the pixel minimum, floored at 0
+    (bit-identical to the reference's ``np.maximum.at`` over the
+    closest-point mask with its zero-initialized buffer,
+    range_image.py:217-230).
 
     Kept separate from :func:`project_points` so the descriptor hot path
-    (which never reads intensity) doesn't pay for the third sort operand.
+    (which never reads intensity) doesn't pay for the extra sort operand
+    and chains. Pipeline: packed sort → run-suffix-min (exact pixel min) →
+    forward-fill of the run-start min across each run → suffix-max of the
+    exact-tie-masked intensities.
     """
     rng, azimuth, elevation, finite = _spherical(points)
     valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
@@ -506,23 +509,45 @@ def project_points_with_intensity(
     packed = (linear_idx << qb) | quant
     sorted_key, sorted_rng, sorted_int = jax.lax.sort(
         (packed, vals, intens.astype(jnp.float32)), num_keys=1)
-
+    sorted_idx = jax.lax.shift_right_logical(sorted_key, qb)
     pos = jnp.arange(n_points, dtype=jnp.int32)
-    run_min, run_int = sorted_rng, sorted_int
+
+    # pass 1: exact per-run min (suffix-min over equal-pixel runs)
+    run_min = sorted_rng
     shift = 1
     while shift < n_points:
         cand = jnp.roll(run_min, -shift)
-        cand_i = jnp.roll(run_int, -shift)
-        same = (jnp.roll(sorted_key, -shift) == sorted_key) & \
+        same = (jnp.roll(sorted_idx, -shift) == sorted_idx) & \
                (pos < n_points - shift)
-        take = same & (cand < run_min)
-        run_int = jnp.where(take, cand_i, run_int)
-        run_min = jnp.where(take, cand, run_min)
+        run_min = jnp.where(same, jnp.minimum(run_min, cand), run_min)
         shift *= 2
 
-    sorted_idx = jax.lax.shift_right_logical(sorted_key, qb)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_idx[1:] != sorted_idx[:-1]])
+
+    # pass 2: broadcast each run start's exact min forward over its run
+    # (pointer doubling; mid-run slots start at +inf and take the value
+    # carried from the left within the same pixel run)
+    full_min = jnp.where(is_start, run_min, jnp.inf)
+    shift = 1
+    while shift < n_points:
+        cand = jnp.roll(full_min, shift)
+        same = (jnp.roll(sorted_idx, shift) == sorted_idx) & (pos >= shift)
+        full_min = jnp.where(same, jnp.minimum(full_min, cand), full_min)
+        shift *= 2
+
+    # pass 3: max intensity among exact ties with the pixel min, floored
+    # at 0 exactly like the reference's zero-initialized maximum.at buffer
+    tie_int = jnp.where(sorted_rng == full_min, sorted_int, -jnp.inf)
+    run_int = tie_int
+    shift = 1
+    while shift < n_points:
+        cand = jnp.roll(run_int, -shift)
+        same = (jnp.roll(sorted_idx, -shift) == sorted_idx) & \
+               (pos < n_points - shift)
+        run_int = jnp.where(same, jnp.maximum(run_int, cand), run_int)
+        shift *= 2
+    run_int = jnp.maximum(run_int, 0.0)
     target = jnp.where(is_start, sorted_idx, 1 << 29)
     rbuf = jnp.zeros((n_pix,), jnp.float32).at[target].set(
         run_min, mode="drop", unique_indices=True)

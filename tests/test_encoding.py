@@ -241,6 +241,46 @@ def test_project_with_intensity(rng):
     assert checked > 0
 
 
+def test_intensity_exact_tie_max(rng):
+    """Exact-range ties take the MAX intensity, floored at 0 — the
+    reference's np.maximum.at semantics over its closest-point mask
+    (range_image.py:217-230). Engineered duplicate points with identical
+    ranges and differing intensities."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        ProjectionConfig, project_points_with_intensity)
+    cfg = ProjectionConfig(n_elevation=16, n_azimuth=90)
+    base = np.asarray(rng.uniform(-40, 40, (512, 4)), np.float32)
+    # duplicate every point 3x with identical xyz (exact range ties) and
+    # random intensities, including negatives to exercise the zero floor
+    pts = np.concatenate([base, base, base])
+    pts[:, 3] = rng.uniform(-0.5, 1.0, len(pts)).astype(np.float32)
+    img, iimg = [np.asarray(a) for a in
+                 project_points_with_intensity(jnp.asarray(pts), cfg)]
+
+    # numpy oracle replicating the reference block verbatim
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    r = np.sqrt(np.clip(x * x, 0, 1e10) + np.clip(y * y, 0, 1e10)
+                + np.clip(z * z, 0, 1e10)).astype(np.float32)
+    az = np.mod(np.arctan2(y, x) + np.pi, 2 * np.pi)
+    el = np.arctan2(z, np.sqrt(x * x + y * y))
+    ok = (r >= cfg.min_range) & (r <= cfg.max_range)
+    eb = np.clip(((el - cfg.elevation_min)
+                  / (cfg.elevation_max - cfg.elevation_min)
+                  * 16).astype(int), 0, 15)[ok]
+    ab = np.clip((az / (2 * np.pi) * 90).astype(int), 0, 89)[ok]
+    rv, iv = r[ok], pts[ok, 3]
+    lin = eb * 90 + ab
+    flat = np.full(16 * 90, np.inf, np.float32)
+    np.minimum.at(flat, lin, rv)
+    flat_i = np.zeros(16 * 90, np.float32)
+    closest = rv == flat[lin]
+    np.maximum.at(flat_i, lin[closest], iv[closest])
+    flat[flat == np.inf] = 0.0
+    np.testing.assert_array_equal(img, flat.reshape(16, 90))
+    np.testing.assert_array_equal(iimg, flat_i.reshape(16, 90))
+
+
 def test_compact_batch_projection_matches_scatter_path(rng):
     """The TPU batch projection (sort-compaction + butterfly expansion)
     must be bit-identical to the per-scan scatter path. The backend gate
