@@ -66,6 +66,11 @@ class TwoStageRetrieval:
                                       and self.verifier.backend == "native")
         self.verification_workers = verification_workers
         self.keyframes: List[Keyframe] = []
+        # per-keyframe verification precomputation (downsample + GICP
+        # covariances) — keyframe clouds are immutable, so each is
+        # prepared at most once across all queries (FIFO-bounded)
+        self._prep_cache: Dict[int, "PreparedCloud"] = {}
+        self._prep_cache_max = 256
 
     def _stage1_vector(self, keyframe: Keyframe) -> np.ndarray:
         """Under the L2 metric, GNN embeddings drive stage 1 when present
@@ -123,17 +128,33 @@ class TwoStageRetrieval:
         )
         return [LoopClosureCandidate(int(i), float(d)) for i, d in zip(idx, dist)]
 
+    def _keyframe_prep(self, database_idx: int):
+        """Verification precomputation for a stored keyframe, cached —
+        each cloud's downsample + covariances run once across ALL queries
+        (they dominate verify(); see verification.PreparedCloud)."""
+        prep = self._prep_cache.get(database_idx)
+        if prep is None:
+            prep = self.verifier.prepare(self.keyframes[database_idx].points)
+            if len(self._prep_cache) >= self._prep_cache_max:
+                self._prep_cache.pop(next(iter(self._prep_cache)))
+            self._prep_cache[database_idx] = prep
+        return prep
+
     def _geometric_verification(self, query_points: np.ndarray,
                                 candidates: List[LoopClosureCandidate]
                                 ) -> List[LoopClosureCandidate]:
+        query_prep = (self.verifier.prepare(query_points)
+                      if query_points is not None else None)
+
         def run_one(cand):
             kf = self.keyframes[cand.database_idx]
-            if query_points is None or kf.points is None:
+            if query_prep is None or kf.points is None:
                 # keyframes restored from the record store carry only the
                 # cloud hash — stage-1 candidates survive unverified
                 return False, None, {"fitness": 0.0, "rmse": float("inf"),
                                      "information_matrix": None}
-            return self.verifier.verify(query_points, kf.points)
+            return self.verifier.verify(
+                query_prep, self._keyframe_prep(cand.database_idx))
 
         if self.parallel_verification and len(candidates) > 1:
             from concurrent.futures import ThreadPoolExecutor

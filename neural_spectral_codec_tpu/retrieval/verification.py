@@ -193,9 +193,31 @@ def _icp_kernel(src, src_mask, dst, dst_mask, normals, cov_src, cov_dst,
     return T, fitness, rmse
 
 
+class PreparedCloud:
+    """Per-cloud verification precomputation: downsampled points plus the
+    method-specific auxiliaries (GICP covariances / point-to-plane
+    normals). Keyframe clouds are immutable, so preparing once and reusing
+    across every candidate pairing removes the dominant cost of repeated
+    verification (~2/3 of verify() is covariance estimation)."""
+
+    __slots__ = ("pts", "cov", "normals", "padded", "mask")
+
+    def __init__(self, pts, cov=None, normals=None, padded=None, mask=None):
+        self.pts = pts
+        self.cov = cov
+        self.normals = normals
+        self.padded = padded        # JAX backend: fixed-shape pad
+        self.mask = mask
+
+
 class GeometricVerifier:
     """Loop-closure verifier (reference geometric_verification.py:16-203
-    contract: verify() → (verified, transform|None, info dict))."""
+    contract: verify() → (verified, transform|None, info dict)).
+
+    ``prepare()`` returns a :class:`PreparedCloud` that ``verify()``
+    accepts in place of raw points on either side, skipping the
+    downsample + covariance/normal work for clouds verified repeatedly
+    (the retrieval layer caches these per keyframe)."""
 
     def __init__(self, method: str = "gicp", fitness_threshold: float = 0.3,
                  rmse_threshold: float = 0.5, max_iterations: int = 30,
@@ -221,9 +243,50 @@ class GeometricVerifier:
             raise ValueError(f"unknown verifier backend: {backend}")
         self.backend = backend
 
-    def verify(self, source_points: np.ndarray, target_points: np.ndarray,
+    def prepare(self, points: np.ndarray) -> PreparedCloud:
+        """Precompute the per-cloud verification state (downsample +
+        GICP covariances / p2l normals) so repeated ``verify()`` calls
+        against the same cloud skip its dominant cost."""
+        if self.backend == "native":
+            from neural_spectral_codec_tpu import native
+            pts = native.voxel_downsample(points, self.voxel_downsample)
+            if len(pts) > self.max_points:
+                pts = pts[np.linspace(0, len(pts) - 1,
+                                      self.max_points).astype(int)]
+            cov = normals = None
+            if len(pts) >= 6:
+                cell = 2 * self.voxel_downsample
+                if self.method == "gicp":
+                    cov = native.estimate_covariances(
+                        pts, k=self.covariance_knn, grid_cell=cell,
+                        eps=self.gicp_epsilon)
+                elif self.method == "point_to_plane":
+                    normals = native.estimate_normals(pts, k=16,
+                                                      grid_cell=cell)
+            return PreparedCloud(pts, cov=cov, normals=normals)
+
+        pts = voxel_downsample(points, self.voxel_downsample)
+        padded, mask = _pad(pts, self.max_points)
+        p, m = jnp.asarray(padded), jnp.asarray(mask)
+        cov = normals = None
+        if self.method == "gicp":
+            cov = _knn_covariances(p, m, self.covariance_knn,
+                                   self.gicp_epsilon)
+        elif self.method == "point_to_plane":
+            normals = _knn_normals(p, m)
+        return PreparedCloud(pts, cov=cov, normals=normals,
+                             padded=p, mask=m)
+
+    def _prep(self, points_or_prepared) -> PreparedCloud:
+        if isinstance(points_or_prepared, PreparedCloud):
+            return points_or_prepared
+        return self.prepare(points_or_prepared)
+
+    def verify(self, source_points, target_points,
                initial_transform: Optional[np.ndarray] = None
                ) -> Tuple[bool, Optional[np.ndarray], Dict]:
+        """Either side may be raw (N, 3|4) points or a
+        :class:`PreparedCloud` from :meth:`prepare`."""
         if self.backend == "native":
             return self._verify_native(source_points, target_points,
                                        initial_transform)
@@ -236,38 +299,21 @@ class GeometricVerifier:
         JAX kernel pays — the idiomatic split for this irregular CPU-side
         workload (SURVEY §2.2)."""
         from neural_spectral_codec_tpu import native
-        src = native.voxel_downsample(source_points, self.voxel_downsample)
-        dst = native.voxel_downsample(target_points, self.voxel_downsample)
-        # same point budget as the JAX path (deterministic stride
-        # subsample) — bounds per-candidate ICP latency
-        if len(src) > self.max_points:
-            src = src[np.linspace(0, len(src) - 1,
-                                  self.max_points).astype(int)]
-        if len(dst) > self.max_points:
-            dst = dst[np.linspace(0, len(dst) - 1,
-                                  self.max_points).astype(int)]
+        sprep = self._prep(source_points)
+        dprep = self._prep(target_points)
+        src, dst = sprep.pts, dprep.pts
         if len(src) < 6 or len(dst) < 6:
             info = {"fitness": 0.0, "rmse": float("inf"),
                     "information_matrix": self._information_matrix(0.0)}
             return False, None, info
         if self.method == "gicp":
-            cell = 2 * self.voxel_downsample
-            cov_s = native.estimate_covariances(
-                src, k=self.covariance_knn, grid_cell=cell,
-                eps=self.gicp_epsilon)
-            cov_d = native.estimate_covariances(
-                dst, k=self.covariance_knn, grid_cell=cell,
-                eps=self.gicp_epsilon)
             T, fitness, rmse = native.gicp(
-                src, dst, cov_s, cov_d, init=initial_transform,
+                src, dst, sprep.cov, dprep.cov, init=initial_transform,
                 max_iterations=self.max_iterations,
                 max_correspondence=self.max_correspondence_distance)
         else:
-            normals = (native.estimate_normals(
-                dst, k=16, grid_cell=2 * self.voxel_downsample)
-                if self.method == "point_to_plane" else None)
             T, fitness, rmse = native.icp(
-                src, dst, normals=normals, init=initial_transform,
+                src, dst, normals=dprep.normals, init=initial_transform,
                 max_iterations=self.max_iterations,
                 max_correspondence=self.max_correspondence_distance)
         info = {"fitness": fitness, "rmse": rmse,
@@ -276,29 +322,22 @@ class GeometricVerifier:
                     and rmse <= self.rmse_threshold)
         return (True, T, info) if verified else (False, None, info)
 
-    def _verify_jax(self, source_points: np.ndarray, target_points: np.ndarray,
+    def _verify_jax(self, source_points, target_points,
                     initial_transform: Optional[np.ndarray] = None
                     ) -> Tuple[bool, Optional[np.ndarray], Dict]:
-        src = voxel_downsample(source_points, self.voxel_downsample)
-        dst = voxel_downsample(target_points, self.voxel_downsample)
-        src_p, src_m = _pad(src, self.max_points)
-        dst_p, dst_m = _pad(dst, self.max_points)
+        sprep = self._prep(source_points)
+        dprep = self._prep(target_points)
         init = np.eye(4, dtype=np.float32) if initial_transform is None \
             else np.asarray(initial_transform, np.float32)
 
         mode = {"icp": "p2p", "point_to_plane": "p2l",
                 "gicp": "gicp"}[self.method]
-        sp, sm = jnp.asarray(src_p), jnp.asarray(src_m)
-        dp, dm = jnp.asarray(dst_p), jnp.asarray(dst_m)
-        normals = (_knn_normals(dp, dm) if mode == "p2l"
-                   else jnp.zeros_like(dp))
+        sp, sm = sprep.padded, sprep.mask
+        dp, dm = dprep.padded, dprep.mask
+        normals = dprep.normals if mode == "p2l" else jnp.zeros_like(dp)
         zc = jnp.zeros((self.max_points, 3, 3), jnp.float32)
-        cov_s = (_knn_covariances(sp, sm, self.covariance_knn,
-                                  self.gicp_epsilon)
-                 if mode == "gicp" else zc)
-        cov_d = (_knn_covariances(dp, dm, self.covariance_knn,
-                                  self.gicp_epsilon)
-                 if mode == "gicp" else zc)
+        cov_s = sprep.cov if mode == "gicp" else zc
+        cov_d = dprep.cov if mode == "gicp" else zc
         T, fitness, rmse = _icp_kernel(
             sp, sm, dp, dm, normals, cov_s, cov_d, jnp.asarray(init),
             self.max_iterations, mode, self.max_correspondence_distance)
@@ -347,9 +386,10 @@ def batch_verify_candidates(query_points, candidate_points_list,
     input order."""
     v = GeometricVerifier(method=method, fitness_threshold=fitness_threshold,
                           rmse_threshold=rmse_threshold)
+    qprep = v.prepare(query_points)   # shared across all pairings
     if parallel and v.backend == "native" and len(candidate_points_list) > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            return list(pool.map(lambda c: v.verify(query_points, c),
+            return list(pool.map(lambda c: v.verify(qprep, c),
                                  candidate_points_list))
-    return [v.verify(query_points, c) for c in candidate_points_list]
+    return [v.verify(qprep, c) for c in candidate_points_list]

@@ -99,6 +99,30 @@ def test_icp_recovers_transform(rng, method):
     np.testing.assert_allclose(np.diag(im)[3:], 1000.0 * info["fitness"])
 
 
+@pytest.mark.parametrize("backend", ["jax", "native"])
+def test_prepared_cloud_matches_raw(rng, backend):
+    """verify(prepare(a), prepare(b)) is identical to verify(a, b) —
+    the per-keyframe prep cache in TwoStageRetrieval must not change
+    results, only skip recomputation."""
+    if backend == "native":
+        from neural_spectral_codec_tpu import native
+        if not native.available():
+            pytest.skip("native lib unavailable")
+    cloud = _cloud(rng)
+    T_true = _se3(yaw=0.05, t=(0.4, -0.3, 0.1))
+    src = (cloud - T_true[:3, 3]) @ T_true[:3, :3]
+    for method in ("icp", "point_to_plane", "gicp"):
+        v = GeometricVerifier(method=method, voxel_downsample=0.5,
+                              backend=backend)
+        ok1, T1, info1 = v.verify(src, cloud)
+        ok2, T2, info2 = v.verify(v.prepare(src), v.prepare(cloud))
+        assert ok1 == ok2
+        assert info1["fitness"] == info2["fitness"]
+        assert info1["rmse"] == info2["rmse"]
+        if T1 is not None:
+            np.testing.assert_array_equal(T1, T2)
+
+
 def test_icp_rejects_unrelated(rng):
     a = _cloud(rng)
     b = rng.uniform(-20, 20, (2000, 3)).astype(np.float32) + [500, 0, 0]
