@@ -14,12 +14,15 @@ exactly the pipeline's processing time for the previous scan. Warmup
 scans (jit compiles on first keyframe / first loop-closing call) are
 reported separately from steady state.
 
-Run:  python experiments/online_latency.py [--frames 400]
+Run:  python experiments/online_latency.py [--frames 400] [--async]
 
-Measured on one TPU v5e (2026-08-17, 400 frames, 16384 pts, defaults):
-    steady state (keyframe scans): p50 12.4 ms  p95 20.2 ms  max 38.6 ms
-    passthrough (non-keyframe) scans: p50 ~0.6 ms
-    budget 100 ms: 0 violations after warmup
+Caveat for interpreting absolute numbers: this dev setup reaches the TPU
+through a tunnel with ~30 ms fixed round-trip per device dispatch; a
+keyframe scan makes 2-3 dispatches (encode, local-GNN refresh, row
+insert), so ~60-90 ms of the per-scan latency is tunnel overhead that a
+co-located production host would not pay. The relative story (what the
+framework does per scan, what --async removes from the hot path) holds
+either way. Measured numbers live in README ("Online serving latency").
 """
 
 import argparse
@@ -56,6 +59,9 @@ def main(argv=None):
     p.add_argument("--warmup-scans", type=int, default=30,
                    help="leading scans excluded from steady-state stats "
                         "(first-keyframe + first-loop-closing compiles)")
+    p.add_argument("--async", dest="async_lc", action="store_true",
+                   help="background loop closing: verification off the "
+                        "per-scan hot path")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -73,7 +79,8 @@ def main(argv=None):
     pipe = NeuralSpectralCodecPipeline(cfg)
 
     t_start = time.perf_counter()
-    pipe.run_online(loader, loop_closure_interval=10)
+    pipe.run_online(loader, loop_closure_interval=10,
+                    async_loop_closing=args.async_lc)
     t_total = time.perf_counter() - t_start
 
     ft = np.asarray(loader.fetch_times)

@@ -14,6 +14,7 @@ Implemented with ``jax.shard_map`` so the collective structure is explicit
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -92,6 +93,9 @@ class ShardedWassersteinRetriever:
         self._db_pos = jax.device_put(
             jnp.zeros((self.capacity, 3), jnp.float32), sh_rows)
         self._query_fns = {}
+        # same donated-buffer guard as the unsharded retriever: a query
+        # thread must not dispatch against a buffer an insert just donated
+        self._buffer_lock = threading.Lock()
 
     def _encode_rows(self, vectors: jnp.ndarray) -> jnp.ndarray:
         if self.metric == "wasserstein":
@@ -108,12 +112,14 @@ class ShardedWassersteinRetriever:
         start = jnp.int32(self.database_size)
         # donated jitted update: writes rows in place (preserving the row
         # sharding) instead of copying the whole sharded buffer
-        self._db_cdf = self._insert(self._db_cdf, cdf, start)
-        if positions is not None:
-            self._db_pos = self._insert(
-                self._db_pos,
-                jnp.asarray(np.atleast_2d(positions), jnp.float32), start)
-        self.database_size += n
+        with self._buffer_lock:
+            self._db_cdf = self._insert(self._db_cdf, cdf, start)
+            if positions is not None:
+                self._db_pos = self._insert(
+                    self._db_pos,
+                    jnp.asarray(np.atleast_2d(positions), jnp.float32),
+                    start)
+            self.database_size += n
 
     @staticmethod
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -136,13 +142,16 @@ class ShardedWassersteinRetriever:
         if idx.max() >= self.database_size:
             raise IndexError("update_rows beyond database size")
         v = jnp.asarray(np.atleast_2d(np.asarray(vectors, np.float32)))
-        self._db_cdf = self._set(self._db_cdf, jnp.asarray(idx),
-                                 self._encode_rows(v))
+        with self._buffer_lock:
+            self._db_cdf = self._set(self._db_cdf, jnp.asarray(idx),
+                                     self._encode_rows(v))
 
     def query(self, query_hist: np.ndarray, top_k: int = 10,
               query_position: Optional[np.ndarray] = None,
               spatial_min_distance: float = 0.0,
-              exclude_last: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+              exclude_last: int = 0,
+              as_of_size: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
         if self.database_size == 0:
             return np.array([], np.int64), np.array([])
         idx, dist = self.query_batch(
@@ -150,7 +159,7 @@ class ShardedWassersteinRetriever:
             query_positions=(None if query_position is None
                              else np.atleast_2d(query_position)),
             spatial_min_distance=spatial_min_distance,
-            exclude_last=exclude_last)
+            exclude_last=exclude_last, as_of_size=as_of_size)
         if idx.shape[1] == 0:
             return np.array([], np.int64), np.array([])
         keep = np.isfinite(dist[0])
@@ -159,14 +168,18 @@ class ShardedWassersteinRetriever:
     def query_batch(self, query_hists: np.ndarray, top_k: int = 10,
                     query_positions: Optional[np.ndarray] = None,
                     spatial_min_distance: float = 0.0,
-                    exclude_last: int = 0
+                    exclude_last: int = 0,
+                    as_of_size: Optional[int] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, n_bins) queries in one sharded dispatch: local W₁ + local
         top-k per shard slab, one (n_dev, Q, k) all-gather over ICI,
         global top-k. ``exclude_last`` drops the newest entries (temporal
-        context exclusion, same semantics as the unsharded retriever).
+        context exclusion) and ``as_of_size`` queries a database-size
+        snapshot — both with the unsharded retriever's semantics.
         Excluded entries carry inf distance."""
-        eff_size = max(self.database_size - max(exclude_last, 0), 0)
+        size0 = self.database_size if as_of_size is None else \
+            min(int(as_of_size), self.database_size)
+        eff_size = max(size0 - max(exclude_last, 0), 0)
         if eff_size == 0:
             qn = len(np.atleast_2d(query_hists))
             return np.zeros((qn, 0), np.int64), np.zeros((qn, 0))
@@ -180,15 +193,18 @@ class ShardedWassersteinRetriever:
         if query_positions is not None and spatial_min_distance > 0:
             qp[:, :3] = np.atleast_2d(query_positions)
             qp[:, 3] = spatial_min_distance
-        idx, dist = self._query_fns[k](
-            self._db_cdf, self._db_pos, jnp.int32(eff_size),
-            q_cdf, jnp.asarray(qp))
+        with self._buffer_lock:
+            idx, dist = self._query_fns[k](
+                self._db_cdf, self._db_pos, jnp.int32(eff_size),
+                q_cdf, jnp.asarray(qp))
         return np.asarray(idx), np.asarray(dist)
 
     def clear_database(self) -> None:
-        self.database_size = 0
-        sh_rows = NamedSharding(self.mesh, P("data", None))
-        self._db_cdf = jax.device_put(
-            jnp.zeros((self.capacity, self.n_bins), jnp.float32), sh_rows)
-        self._db_pos = jax.device_put(
-            jnp.zeros((self.capacity, 3), jnp.float32), sh_rows)
+        with self._buffer_lock:
+            self.database_size = 0
+            sh_rows = NamedSharding(self.mesh, P("data", None))
+            self._db_cdf = jax.device_put(
+                jnp.zeros((self.capacity, self.n_bins), jnp.float32),
+                sh_rows)
+            self._db_pos = jax.device_put(
+                jnp.zeros((self.capacity, 3), jnp.float32), sh_rows)

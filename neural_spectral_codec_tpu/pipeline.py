@@ -47,6 +47,20 @@ from neural_spectral_codec_tpu.utils.profiler import Profiler
 logger = logging.getLogger(__name__)
 
 
+def enable_compilation_cache(cache_dir: str = "/tmp/nsc_jax_cache") -> None:
+    """Persistent XLA compilation cache: cold starts reuse compiled
+    executables from previous processes. The first-ever compile of the
+    100k-capacity retrieval query takes minutes on a fresh machine; with
+    the cache a service restart replays it in seconds. Safe to call more
+    than once; a no-op if the config is already set."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:            # already-initialized edge cases
+        logger.debug("compilation cache not enabled: %s", e)
+
+
 class BatchEncoder:
     """Fixed-shape batched descriptor encoder: pads each scan to
     ``max_points`` and encodes in device chunks of ``batch_size`` so one
@@ -94,6 +108,10 @@ class NeuralSpectralCodecPipeline:
     def __init__(self, config: Dict):
         self.config = config
         self.profiler = Profiler()
+        if cfg_get(config, "system.compilation_cache", True):
+            enable_compilation_cache(
+                cfg_get(config, "system.compilation_cache_dir",
+                        "/tmp/nsc_jax_cache"))
 
         enc = config.get("encoding", {})
         elev = tuple(enc.get("elevation_range", (-24.8, 2.0)))
@@ -323,7 +341,8 @@ class NeuralSpectralCodecPipeline:
                    loop_closure_interval: int = 10,
                    output_g2o: Optional[str] = None,
                    database_path: Optional[str] = None,
-                   resume_database: bool = False) -> List[Dict]:
+                   resume_database: bool = False,
+                   async_loop_closing: Optional[bool] = None) -> List[Dict]:
         """Streaming loop closing (reference pipeline.py:200-282).
 
         Honors the config's ``monitoring`` block (per-stage timing log
@@ -334,7 +353,16 @@ class NeuralSpectralCodecPipeline:
         loaded first, so a mapping session continues against the previous
         session's places (loaded entries serve stage-1 retrieval; they
         carry no raw points, so candidate pairs against them surface
-        unverified)."""
+        unverified).
+
+        ``async_loop_closing`` (default from config key
+        ``deployment.async_loop_closing``, off otherwise) moves the
+        two-stage query + GICP verification onto a background worker —
+        the per-scan hot path never blocks on verification (the standard
+        SLAM split: odometry-rate front end, background loop closure).
+        Verified edges are harvested into the graph as they complete and
+        drained before returning, so the final edge set matches the
+        synchronous mode."""
         import jax
         db_base = 0
         if (resume_database and database_path
@@ -362,8 +390,37 @@ class NeuralSpectralCodecPipeline:
         local_gnn = LocalUpdateGNN(self.model, self.params, self.batch_stats,
                                    k_hops=self.local_update_hops)
 
+        if async_loop_closing is None:
+            async_loop_closing = cfg_get(
+                self.config, "deployment.async_loop_closing", False)
+        executor = None
+        pending: List = []    # (query keyframe_id, Future[List[Dict]])
+        if async_loop_closing:
+            from concurrent.futures import ThreadPoolExecutor
+            executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="loop-closing")
+
         all_loop_closures: List[Dict] = []
         n_queries = 0
+
+        def _apply_edges(query_id: int, edges: List[Dict]) -> None:
+            for e in edges:
+                self.graph_manager.add_loop_closure_edge(
+                    query_id, e["target_id"])
+            if edges:
+                all_loop_closures.extend(edges)
+                logger.info("query kf %d: %d loop closures", query_id,
+                            len(edges))
+
+        def _harvest(block: bool = False) -> None:
+            remaining = []
+            for query_id, fut in pending:
+                if block or fut.done():
+                    _apply_edges(query_id, fut.result())
+                else:
+                    remaining.append((query_id, fut))
+            pending[:] = remaining
+
         for scan_id in range(len(loader)):
             frame = loader[scan_id]
             with self.profiler.profile("select"):
@@ -398,23 +455,31 @@ class NeuralSpectralCodecPipeline:
                         for i in refreshed_nodes])
 
             if len(self.selector.keyframes) % loop_closure_interval == 0:
-                with self.profiler.profile("loop_closing"):
-                    t0 = time.perf_counter()
-                    edges = self.retrieval.get_loop_closures(kf, kf.points)
-                    n_queries += 1
-                    query_ms = 1e3 * (time.perf_counter() - t0)
-                    if max_latency_ms and query_ms > max_latency_ms:
-                        logger.warning(
-                            "scan %d: loop-closing latency %.1f ms exceeds "
-                            "budget %.0f ms", scan_id, query_ms,
-                            max_latency_ms)
-                    if edges:
-                        for e in edges:
-                            self.graph_manager.add_loop_closure_edge(
-                                kf.keyframe_id, e["target_id"])
-                        all_loop_closures.extend(edges)
-                        logger.info("scan %d: %d loop closures (%.1f ms)",
-                                    scan_id, len(edges), query_ms)
+                if executor is not None:
+                    with self.profiler.profile("loop_closing_submit"):
+                        # snapshot the db size so the background query sees
+                        # the submit-time database and temporal-exclusion
+                        # window, not whatever has been inserted since
+                        snapshot = self.retrieval.retriever.database_size
+                        pending.append((kf.keyframe_id, executor.submit(
+                            self.retrieval.get_loop_closures, kf, kf.points,
+                            snapshot)))
+                        n_queries += 1
+                else:
+                    with self.profiler.profile("loop_closing"):
+                        t0 = time.perf_counter()
+                        edges = self.retrieval.get_loop_closures(
+                            kf, kf.points)
+                        n_queries += 1
+                        query_ms = 1e3 * (time.perf_counter() - t0)
+                        if max_latency_ms and query_ms > max_latency_ms:
+                            logger.warning(
+                                "scan %d: loop-closing latency %.1f ms "
+                                "exceeds budget %.0f ms", scan_id, query_ms,
+                                max_latency_ms)
+                        _apply_edges(kf.keyframe_id, edges)
+            if executor is not None:
+                _harvest()  # fold in finished background queries, no block
 
             if mon_enabled and (scan_id + 1) % mon_interval == 0:
                 tot = self.profiler.totals
@@ -424,9 +489,13 @@ class NeuralSpectralCodecPipeline:
                     " | ".join(
                         f"{k} {1e3 * tot[k] / max(cnt[k], 1):.2f} ms/call"
                         for k in ("select", "encode", "graph_update",
-                                  "loop_closing") if k in tot),
+                                  "loop_closing", "loop_closing_submit")
+                        if k in tot),
                     self.retrieval.retriever.database_size)
 
+        if executor is not None:
+            _harvest(block=True)   # drain in-flight background queries
+            executor.shutdown(wait=True)
         if database_path:
             n = self.retrieval.save_database(database_path)
             logger.info("Saved %d descriptor records to %s", n, database_path)

@@ -20,6 +20,7 @@ ENTIRE database (two_stage_retrieval.py:158-201). TPU-first redesign:
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -145,6 +146,13 @@ class WassersteinRetriever:
         self.database_size = 0
         self._db_cdf = jnp.zeros((capacity, n_bins), jnp.float32)
         self._db_pos = jnp.zeros((capacity, 3), jnp.float32)
+        # guards the donated-buffer window: inserts DONATE _db_cdf/_db_pos
+        # (in-place XLA update), which deletes the old array object — a
+        # concurrent query thread that read the attribute just before the
+        # donation would dispatch against a deleted buffer. Queries hold
+        # the lock only across [attribute read + dispatch]; the kernel
+        # keeps its own reference once enqueued.
+        self._buffer_lock = threading.Lock()
 
     def _encode_rows(self, vectors: jnp.ndarray) -> jnp.ndarray:
         if self.metric == "wasserstein":
@@ -162,12 +170,14 @@ class WassersteinRetriever:
             raise ValueError(
                 f"Database capacity exceeded: {self.database_size}+{n} > {self.capacity}")
         start = jnp.int32(self.database_size)
-        self._db_cdf = _insert_rows(self._db_cdf, self._encode_rows(h), start)
-        if positions is not None:
-            self._db_pos = _insert_rows(
-                self._db_pos,
-                jnp.asarray(np.atleast_2d(positions), jnp.float32), start)
-        self.database_size += n
+        with self._buffer_lock:
+            self._db_cdf = _insert_rows(self._db_cdf, self._encode_rows(h),
+                                        start)
+            if positions is not None:
+                self._db_pos = _insert_rows(
+                    self._db_pos,
+                    jnp.asarray(np.atleast_2d(positions), jnp.float32), start)
+            self.database_size += n
 
     def update_rows(self, indices: np.ndarray, vectors: np.ndarray) -> None:
         """Overwrite existing rows in place — used when GNN local updates
@@ -178,23 +188,33 @@ class WassersteinRetriever:
         if idx.max() >= self.database_size:
             raise IndexError("update_rows beyond database size")
         v = jnp.asarray(np.atleast_2d(np.asarray(vectors, np.float32)))
-        self._db_cdf = _set_rows(self._db_cdf, jnp.asarray(idx),
-                                 self._encode_rows(v))
+        with self._buffer_lock:
+            self._db_cdf = _set_rows(self._db_cdf, jnp.asarray(idx),
+                                     self._encode_rows(v))
 
     def query(self, query_hist: np.ndarray, top_k: int = 10,
               query_position: Optional[np.ndarray] = None,
               spatial_min_distance: float = 0.0,
-              exclude_last: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+              exclude_last: int = 0,
+              as_of_size: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k W₁ matches. Entries closer than ``spatial_min_distance`` to
         ``query_position`` are excluded on device (fused, no host loop);
         ``exclude_last`` drops the most recently inserted entries (temporal
         context exclusion). Returns (indices, distances) trimmed to valid
         entries.
 
+        ``as_of_size`` queries a snapshot: only rows inserted before that
+        database size participate (``exclude_last`` then counts back from
+        the snapshot). Lets deferred/background queries see exactly the
+        database their submitter saw, regardless of concurrent inserts.
+
         ``query_hist`` may be a device array (e.g. straight from the
         encoder) — then the query is a single dispatch with no host↔device
         copies of the descriptor."""
-        eff_size = max(self.database_size - max(exclude_last, 0), 0)
+        size0 = self.database_size if as_of_size is None else \
+            min(int(as_of_size), self.database_size)
+        eff_size = max(size0 - max(exclude_last, 0), 0)
         if eff_size == 0:
             return np.array([], np.int64), np.array([])
         k = int(min(top_k, eff_size))
@@ -203,10 +223,11 @@ class WassersteinRetriever:
         if query_position is not None and spatial_min_distance > 0:
             qp[:3] = np.asarray(query_position)
             qp[3] = spatial_min_distance
-        idx, dist = _query_kernel(self._db_cdf, self._db_pos,
-                                  jnp.int32(eff_size), q,
-                                  jnp.asarray(qp), k, self.metric,
-                                  epsilon=self.epsilon)
+        with self._buffer_lock:
+            idx, dist = _query_kernel(self._db_cdf, self._db_pos,
+                                      jnp.int32(eff_size), q,
+                                      jnp.asarray(qp), k, self.metric,
+                                      epsilon=self.epsilon)
         idx, dist = np.asarray(idx), np.asarray(dist)
         keep = np.isfinite(dist)
         return idx[keep], dist[keep]
@@ -214,15 +235,18 @@ class WassersteinRetriever:
     def query_batch(self, query_hists: np.ndarray, top_k: int = 10,
                     query_positions: Optional[np.ndarray] = None,
                     spatial_min_distance: float = 0.0,
-                    exclude_last: int = 0
+                    exclude_last: int = 0,
+                    as_of_size: Optional[int] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched top-k for (Q, n_bins) queries in one dispatch. Returns
         (Q, k) indices and distances; excluded/invalid entries carry inf
         distance. ``exclude_last`` drops the most recently inserted entries
-        (temporal context exclusion, same semantics as :meth:`query`).
-        ~Q× cheaper per query than :meth:`query` because the database is
-        streamed from HBM once."""
-        eff_size = max(self.database_size - max(exclude_last, 0), 0)
+        and ``as_of_size`` queries a database-size snapshot (same
+        semantics as :meth:`query`). ~Q× cheaper per query than
+        :meth:`query` because the database is streamed from HBM once."""
+        size0 = self.database_size if as_of_size is None else \
+            min(int(as_of_size), self.database_size)
+        eff_size = max(size0 - max(exclude_last, 0), 0)
         if eff_size == 0:
             qn = len(np.atleast_2d(query_hists))
             return (np.zeros((qn, 0), np.int64), np.zeros((qn, 0)))
@@ -233,12 +257,15 @@ class WassersteinRetriever:
         if query_positions is not None and spatial_min_distance > 0:
             qp[:, :3] = np.atleast_2d(query_positions)
             qp[:, 3] = spatial_min_distance
-        idx, dist = _query_batch_kernel(
-            self._db_cdf, self._db_pos, jnp.int32(eff_size), q,
-            jnp.asarray(qp), k, self.metric, epsilon=self.epsilon)
+        with self._buffer_lock:
+            idx, dist = _query_batch_kernel(
+                self._db_cdf, self._db_pos, jnp.int32(eff_size), q,
+                jnp.asarray(qp), k, self.metric, epsilon=self.epsilon)
         return np.asarray(idx), np.asarray(dist)
 
     def clear_database(self) -> None:
-        self.database_size = 0
-        self._db_cdf = jnp.zeros((self.capacity, self.n_bins), jnp.float32)
-        self._db_pos = jnp.zeros((self.capacity, 3), jnp.float32)
+        with self._buffer_lock:
+            self.database_size = 0
+            self._db_cdf = jnp.zeros((self.capacity, self.n_bins),
+                                     jnp.float32)
+            self._db_pos = jnp.zeros((self.capacity, 3), jnp.float32)

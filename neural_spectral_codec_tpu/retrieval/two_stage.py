@@ -68,9 +68,10 @@ class TwoStageRetrieval:
         self.keyframes: List[Keyframe] = []
         # per-keyframe verification precomputation (downsample + GICP
         # covariances) — keyframe clouds are immutable, so each is
-        # prepared at most once across all queries (FIFO-bounded)
+        # prepared at most once across all queries (FIFO-bounded;
+        # ~200 KB/entry at the 4096-point budget)
         self._prep_cache: Dict[int, "PreparedCloud"] = {}
-        self._prep_cache_max = 256
+        self._prep_cache_max = 1024
 
     def _stage1_vector(self, keyframe: Keyframe) -> np.ndarray:
         """Under the L2 metric, GNN embeddings drive stage 1 when present
@@ -99,10 +100,15 @@ class TwoStageRetrieval:
 
     def query(self, query_keyframe: Keyframe,
               query_points: Optional[np.ndarray] = None,
-              verify: bool = True) -> List[LoopClosureCandidate]:
+              verify: bool = True,
+              as_of_size: Optional[int] = None
+              ) -> List[LoopClosureCandidate]:
+        """``as_of_size`` restricts stage 1 to the database snapshot of
+        that size — background/deferred queries see exactly the entries
+        (and temporal-exclusion window) their submitter saw."""
         if query_keyframe.descriptor is None:
             raise ValueError("Query keyframe must have descriptor")
-        candidates = self._global_retrieval(query_keyframe)
+        candidates = self._global_retrieval(query_keyframe, as_of_size)
         if not candidates:
             return []
         if verify:
@@ -111,7 +117,8 @@ class TwoStageRetrieval:
             candidates = self._geometric_verification(query_points, candidates)
         return candidates
 
-    def _global_retrieval(self, query_keyframe: Keyframe
+    def _global_retrieval(self, query_keyframe: Keyframe,
+                          as_of_size: Optional[int] = None
                           ) -> List[LoopClosureCandidate]:
         pos = (query_keyframe.pose[:3, 3]
                if query_keyframe.pose is not None else None)
@@ -125,6 +132,7 @@ class TwoStageRetrieval:
             # it; without it (and with poses absent or drift-free) the
             # trivial temporally-adjacent keyframes win every query
             exclude_last=self.context_window,
+            as_of_size=as_of_size,
         )
         return [LoopClosureCandidate(int(i), float(d)) for i, d in zip(idx, dist)]
 
@@ -176,11 +184,12 @@ class TwoStageRetrieval:
         return verified
 
     def get_loop_closures(self, query_keyframe: Keyframe,
-                          query_points: Optional[np.ndarray] = None
-                          ) -> List[Dict]:
+                          query_points: Optional[np.ndarray] = None,
+                          as_of_size: Optional[int] = None) -> List[Dict]:
         """Verified loop closures as g2o edge dicts (reference :244-290)."""
         out = []
-        for cand in self.query(query_keyframe, query_points, verify=True):
+        for cand in self.query(query_keyframe, query_points, verify=True,
+                               as_of_size=as_of_size):
             if not cand.verified:
                 continue
             kf = self.keyframes[cand.database_idx]

@@ -84,6 +84,27 @@ def test_pipeline_online_produces_loop_closures(tmp_path):
         assert e["rmse"] <= cfg["retrieval"]["icp_rmse_threshold"]
 
 
+def test_pipeline_online_async_matches_sync(tmp_path):
+    """Background loop closing finds the same verified edges as the
+    synchronous mode (they run the identical query chain; async only
+    moves it off the per-scan hot path and drains before returning)."""
+    opts = {"spatial_filter_distance": 0.0, "top_k": 3,
+            "icp_max_iterations": 10, "verification_max_points": 4096}
+    loader = SyntheticLoader(n_frames=100, seed=0, n_points=4096, loops=2.0)
+
+    sync_pipe = NeuralSpectralCodecPipeline(
+        small_config(tmp_path, retrieval=opts))
+    sync_edges = sync_pipe.run_online(loader, loop_closure_interval=10)
+
+    async_pipe = NeuralSpectralCodecPipeline(
+        small_config(tmp_path, retrieval=opts))
+    async_edges = async_pipe.run_online(loader, loop_closure_interval=10,
+                                        async_loop_closing=True)
+    assert len(sync_edges) > 0
+    key = lambda e: (e["source_id"], e["target_id"])
+    assert sorted(map(key, async_edges)) == sorted(map(key, sync_edges))
+
+
 def test_checkpoint_roundtrip_through_pipeline(tmp_path):
     cfg = small_config(tmp_path)
     pipe = NeuralSpectralCodecPipeline(cfg)

@@ -99,6 +99,36 @@ def test_icp_recovers_transform(rng, method):
     np.testing.assert_allclose(np.diag(im)[3:], 1000.0 * info["fitness"])
 
 
+def test_concurrent_query_and_insert(rng):
+    """Background queries racing donated inserts must never dispatch
+    against a deleted buffer (async loop closing runs stage-1 queries on
+    a worker thread while the main thread keeps inserting; regression for
+    'Array has been deleted' on the donated database buffer)."""
+    import threading
+    ret = WassersteinRetriever(n_bins=64, capacity=4096)
+    base = np.abs(rng.random((16, 64))).astype(np.float32)
+    base /= base.sum(axis=1, keepdims=True)
+    ret.add_to_database(base)
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(200):
+                idx, dist = ret.query(base[3], top_k=5,
+                                      as_of_size=ret.database_size)
+                assert len(idx) > 0
+        except Exception as e:          # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    for i in range(200):
+        row = np.abs(rng.random((1, 64))).astype(np.float32)
+        ret.add_to_database(row / row.sum())
+    t.join()
+    assert not errors, errors[0]
+
+
 @pytest.mark.parametrize("backend", ["jax", "native"])
 def test_prepared_cloud_matches_raw(rng, backend):
     """verify(prepare(a), prepare(b)) is identical to verify(a, b) —
