@@ -110,6 +110,69 @@ struct Grid {
   }
 };
 
+// --- sorted flat grid for batch kNN sweeps ---------------------------------
+//
+// For per-point kNN over a whole cloud (normals / GICP covariances) the
+// hash grid's 27 unordered_map lookups per query dominate (memory-scattered
+// buckets). This variant keeps points sorted by cell key in two flat
+// arrays; each neighbor cell is an equal_range over the contiguous keys
+// (binary search in cache-resident memory), ~2x faster end to end.
+
+struct SortedGrid {
+  float inv_cell;
+  std::vector<int64_t> keys;   // sorted cell key per point
+  std::vector<int> order;      // point index per sorted slot
+  const float* pts;
+  int n;
+
+  void build(const float* p, int count, float cell_size) {
+    pts = p;
+    n = count;
+    inv_cell = 1.0f / cell_size;
+    std::vector<std::pair<int64_t, int>> kv(count);
+    for (int i = 0; i < count; i++)
+      kv[i] = {voxel_key(p[3 * i], p[3 * i + 1], p[3 * i + 2], inv_cell), i};
+    std::sort(kv.begin(), kv.end());
+    keys.resize(count);
+    order.resize(count);
+    for (int i = 0; i < count; i++) {
+      keys[i] = kv[i].first;
+      order[i] = kv[i].second;
+    }
+  }
+
+  void cell_range(int64_t key, int& lo, int& hi) const {
+    auto l = std::lower_bound(keys.begin(), keys.end(), key);
+    auto h = std::upper_bound(l, keys.end(), key);
+    lo = (int)(l - keys.begin());
+    hi = (int)(h - keys.begin());
+  }
+
+  // same ring-growth contract as Grid::candidates
+  void candidates(const float* q, int want, std::vector<int>& out) const {
+    const int64_t off = 1 << 20;
+    int64_t cx = (int64_t)std::floor(q[0] * inv_cell) + off;
+    int64_t cy = (int64_t)std::floor(q[1] * inv_cell) + off;
+    int64_t cz = (int64_t)std::floor(q[2] * inv_cell) + off;
+    for (int ring = 1; ring <= 4; ring++) {
+      out.clear();
+      for (int dx = -ring; dx <= ring; dx++)
+        for (int dy = -ring; dy <= ring; dy++) {
+          // z-cells are key-contiguous: one range scan per (dx, dy) row
+          int64_t base = ((cx + dx) << 42) | ((cy + dy) << 21);
+          int lo, hi;
+          auto l = std::lower_bound(keys.begin(), keys.end(),
+                                    base | (cz - ring));
+          auto h = std::upper_bound(l, keys.end(), base | (cz + ring));
+          lo = (int)(l - keys.begin());
+          hi = (int)(h - keys.begin());
+          for (int s = lo; s < hi; s++) out.push_back(order[s]);
+        }
+      if ((int)out.size() >= want) return;
+    }
+  }
+};
+
 // --- tiny linear algebra --------------------------------------------------
 
 // symmetric 3x3 eigen-decomposition by Jacobi rotations; eigenvalues land
@@ -117,10 +180,12 @@ struct Grid {
 static void jacobi_eig3(double a[3][3], double v[3][3]) {
   for (int i = 0; i < 3; i++)
     for (int j = 0; j < 3; j++) v[i][j] = (i == j) ? 1.0 : 0.0;
+  const double scale = std::fabs(a[0][0]) + std::fabs(a[1][1]) +
+                       std::fabs(a[2][2]) + 1e-30;
   for (int sweep = 0; sweep < 16; sweep++) {
     double offdiag = std::fabs(a[0][1]) + std::fabs(a[0][2]) +
                      std::fabs(a[1][2]);
-    if (offdiag < 1e-14) break;
+    if (offdiag < 1e-12 * scale) break;
     for (int p = 0; p < 2; p++)
       for (int q = p + 1; q < 3; q++) {
         if (std::fabs(a[p][q]) < 1e-18) continue;
@@ -272,7 +337,7 @@ int nsc_voxel_downsample(const float* pts, int n, float voxel,
 // neighbor radius (e.g. 2x the voxel size).
 void nsc_estimate_normals(const float* pts, int n, int k, float grid_cell,
                           float* out) {
-  Grid grid;
+  SortedGrid grid;
   grid.build(pts, n, grid_cell);
   std::vector<int> cand;
   std::vector<std::pair<float, int>> dist;
@@ -286,7 +351,9 @@ void nsc_estimate_normals(const float* pts, int n, int k, float grid_cell,
       dist.push_back({dx * dx + dy * dy + dz * dz, j});
     }
     int kk = std::min((int)dist.size(), k);
-    std::partial_sort(dist.begin(), dist.begin() + kk, dist.end());
+    // PCA needs the k-nearest SET, not their order
+    std::nth_element(dist.begin(), dist.begin() + (kk ? kk - 1 : 0),
+                     dist.end());
     double mx = 0, my = 0, mz = 0;
     for (int t = 0; t < kk; t++) {
       int j = dist[t].second;
@@ -313,7 +380,7 @@ void nsc_estimate_normals(const float* pts, int n, int k, float grid_cell,
 // normal. out is n row-major 3x3 matrices (9 floats per point).
 void nsc_estimate_covariances(const float* pts, int n, int k,
                               float grid_cell, float eps, float* out) {
-  Grid grid;
+  SortedGrid grid;
   grid.build(pts, n, grid_cell);
   std::vector<int> cand;
   std::vector<std::pair<float, int>> dist;
@@ -327,7 +394,9 @@ void nsc_estimate_covariances(const float* pts, int n, int k,
       dist.push_back({dx * dx + dy * dy + dz * dz, j});
     }
     int kk = std::min((int)dist.size(), k);
-    std::partial_sort(dist.begin(), dist.begin() + kk, dist.end());
+    // PCA needs the k-nearest SET, not their order
+    std::nth_element(dist.begin(), dist.begin() + (kk ? kk - 1 : 0),
+                     dist.end());
     double mx = 0, my = 0, mz = 0;
     for (int t = 0; t < kk; t++) {
       int j = dist[t].second;
