@@ -34,82 +34,6 @@ static inline int64_t voxel_key(float x, float y, float z, float inv_voxel) {
   return (vx << 42) | (vy << 21) | vz;
 }
 
-// --- spatial hash grid for radius-bounded nearest neighbor ---------------
-
-struct Grid {
-  float cell;
-  float inv_cell;
-  std::unordered_map<int64_t, std::vector<int>> cells;
-  const float* pts;  // (n, 3)
-  int n;
-
-  void build(const float* p, int count, float cell_size) {
-    pts = p;
-    n = count;
-    cell = cell_size;
-    inv_cell = 1.0f / cell_size;
-    cells.clear();
-    cells.reserve(count);
-    for (int i = 0; i < count; i++) {
-      cells[voxel_key(p[3 * i], p[3 * i + 1], p[3 * i + 2], inv_cell)]
-          .push_back(i);
-    }
-  }
-
-  // nearest neighbor of q within `radius` (expects radius <= cell);
-  // returns -1 if none.
-  int nearest(const float* q, float radius) const {
-    const int64_t off = 1 << 20;
-    int64_t cx = (int64_t)std::floor(q[0] * inv_cell) + off;
-    int64_t cy = (int64_t)std::floor(q[1] * inv_cell) + off;
-    int64_t cz = (int64_t)std::floor(q[2] * inv_cell) + off;
-    float best = radius * radius;
-    int best_i = -1;
-    for (int dx = -1; dx <= 1; dx++)
-      for (int dy = -1; dy <= 1; dy++)
-        for (int dz = -1; dz <= 1; dz++) {
-          int64_t key =
-              ((cx + dx) << 42) | ((cy + dy) << 21) | (cz + dz);
-          auto it = cells.find(key);
-          if (it == cells.end()) continue;
-          for (int i : it->second) {
-            float ddx = pts[3 * i] - q[0];
-            float ddy = pts[3 * i + 1] - q[1];
-            float ddz = pts[3 * i + 2] - q[2];
-            float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-            if (d2 < best) {
-              best = d2;
-              best_i = i;
-            }
-          }
-        }
-    return best_i;
-  }
-
-  // collect up to `cap` neighbor candidates in expanding rings until at
-  // least `want` found (for kNN normal estimation)
-  void candidates(const float* q, int want, std::vector<int>& out) const {
-    const int64_t off = 1 << 20;
-    int64_t cx = (int64_t)std::floor(q[0] * inv_cell) + off;
-    int64_t cy = (int64_t)std::floor(q[1] * inv_cell) + off;
-    int64_t cz = (int64_t)std::floor(q[2] * inv_cell) + off;
-    out.clear();
-    for (int ring = 1; ring <= 4; ring++) {
-      out.clear();
-      for (int dx = -ring; dx <= ring; dx++)
-        for (int dy = -ring; dy <= ring; dy++)
-          for (int dz = -ring; dz <= ring; dz++) {
-            int64_t key =
-                ((cx + dx) << 42) | ((cy + dy) << 21) | (cz + dz);
-            auto it = cells.find(key);
-            if (it == cells.end()) continue;
-            out.insert(out.end(), it->second.begin(), it->second.end());
-          }
-      if ((int)out.size() >= want) return;
-    }
-  }
-};
-
 // --- sorted flat grid for batch kNN sweeps ---------------------------------
 //
 // For per-point kNN over a whole cloud (normals / GICP covariances) the
@@ -146,6 +70,36 @@ struct SortedGrid {
     auto h = std::upper_bound(l, keys.end(), key);
     lo = (int)(l - keys.begin());
     hi = (int)(h - keys.begin());
+  }
+
+  // nearest neighbor of q within `radius` (radius <= cell); -1 if none.
+  // 9 contiguous z-row scans instead of Grid's 27 hash probes.
+  int nearest(const float* q, float radius) const {
+    const int64_t off = 1 << 20;
+    int64_t cx = (int64_t)std::floor(q[0] * inv_cell) + off;
+    int64_t cy = (int64_t)std::floor(q[1] * inv_cell) + off;
+    int64_t cz = (int64_t)std::floor(q[2] * inv_cell) + off;
+    float best = radius * radius;
+    int best_i = -1;
+    for (int dx = -1; dx <= 1; dx++)
+      for (int dy = -1; dy <= 1; dy++) {
+        int64_t base = ((cx + dx) << 42) | ((cy + dy) << 21);
+        auto l = std::lower_bound(keys.begin(), keys.end(),
+                                  base | (cz - 1));
+        auto h = std::upper_bound(l, keys.end(), base | (cz + 1));
+        for (auto it = l; it != h; ++it) {
+          int i = order[it - keys.begin()];
+          float ddx = pts[3 * i] - q[0];
+          float ddy = pts[3 * i + 1] - q[1];
+          float ddz = pts[3 * i + 2] - q[2];
+          float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+          if (d2 < best) {
+            best = d2;
+            best_i = i;
+          }
+        }
+      }
+    return best_i;
   }
 
   // same ring-growth contract as Grid::candidates
@@ -443,7 +397,7 @@ void nsc_gicp(const float* src, int ns, const float* cov_src,
               float* T_out, float* fitness, float* rmse) {
   float T[16];
   std::memcpy(T, T_init, sizeof(T));
-  Grid grid;
+  SortedGrid grid;
   grid.build(dst, nd, max_corr);
 
   for (int iter = 0; iter < max_iters; iter++) {
@@ -541,7 +495,7 @@ void nsc_icp(const float* src, int ns, const float* dst, int nd,
              float max_corr, float* T_out, float* fitness, float* rmse) {
   float T[16];
   std::memcpy(T, T_init, sizeof(T));
-  Grid grid;
+  SortedGrid grid;
   grid.build(dst, nd, max_corr);
 
   // correspondence statistics of a FIXED transform (reported stats must
