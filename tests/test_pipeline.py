@@ -105,6 +105,21 @@ def test_pipeline_online_async_matches_sync(tmp_path):
     assert sorted(map(key, async_edges)) == sorted(map(key, sync_edges))
 
 
+def test_pipeline_warmup_precompiles(tmp_path):
+    """warmup() pre-compiles serving executables without touching the
+    live database/graph, and the online loop still works after it."""
+    cfg = small_config(tmp_path, retrieval={
+        "spatial_filter_distance": 0.0, "top_k": 3,
+        "icp_max_iterations": 5, "verification_max_points": 4096})
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    pipe.warmup()
+    assert pipe.retrieval.retriever.database_size == 0   # untouched
+    assert len(pipe.graph_manager.keyframes) == 0
+    loader = SyntheticLoader(n_frames=30, seed=0, n_points=4096, loops=2.0)
+    pipe.run_online(loader, loop_closure_interval=10)
+    assert len(pipe.selector.keyframes) > 0
+
+
 def test_checkpoint_roundtrip_through_pipeline(tmp_path):
     cfg = small_config(tmp_path)
     pipe = NeuralSpectralCodecPipeline(cfg)
