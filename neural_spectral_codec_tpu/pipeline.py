@@ -169,6 +169,17 @@ class NeuralSpectralCodecPipeline:
         # UNUSED, reference pipeline.py:259) to L2-on-GNN-embeddings, the
         # mode the training recall metric actually optimizes
         self.use_embeddings_for_retrieval = r.get("use_embeddings", False)
+        retrieval_mesh = None
+        if cfg_get(config, "parallel.shard_retrieval_db", False):
+            import jax
+            if jax.device_count() > 1:
+                from neural_spectral_codec_tpu.parallel import create_mesh
+                retrieval_mesh = create_mesh(
+                    cfg_get(config, "system.mesh_devices"))
+            else:
+                logger.warning("parallel.shard_retrieval_db requested but "
+                               "only one device present; using the "
+                               "unsharded retriever")
         self.retrieval = TwoStageRetrieval(
             stage1_metric=("l2" if self.use_embeddings_for_retrieval
                            else "wasserstein"),
@@ -186,6 +197,7 @@ class NeuralSpectralCodecPipeline:
             verification_backend=r.get("verification_backend", "auto"),
             parallel_verification=r.get("parallel_verification", False),
             verification_workers=r.get("verification_workers", 4),
+            mesh=retrieval_mesh,
         )
 
     # ------------------------------------------------------------------

@@ -42,14 +42,27 @@ class TwoStageRetrieval:
                  verification_backend: str = "auto",
                  stage1_metric: str = "wasserstein",
                  parallel_verification: bool = False,
-                 verification_workers: int = 4):
+                 verification_workers: int = 4,
+                 mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` row-shards the stage-1
+        database across devices (ShardedWassersteinRetriever — local
+        top-k per shard slab + one small all-gather over ICI); the rest
+        of the two-stage surface is unchanged (configs key
+        ``parallel.shard_retrieval_db``)."""
         self.top_k = top_k
         self.spatial_filter_distance = spatial_filter_distance
         self.context_window = context_window
         self.stage1_metric = stage1_metric
-        self.retriever = WassersteinRetriever(n_bins=n_bins,
-                                              capacity=capacity,
-                                              metric=stage1_metric)
+        if mesh is not None:
+            from neural_spectral_codec_tpu.parallel import (
+                ShardedWassersteinRetriever)
+            self.retriever = ShardedWassersteinRetriever(
+                mesh, n_bins=n_bins, capacity=capacity,
+                metric=stage1_metric)
+        else:
+            self.retriever = WassersteinRetriever(n_bins=n_bins,
+                                                  capacity=capacity,
+                                                  metric=stage1_metric)
         self.verifier = GeometricVerifier(
             method=verification_method,
             fitness_threshold=fitness_threshold,
@@ -212,6 +225,8 @@ class TwoStageRetrieval:
     def clear_database(self) -> None:
         self.keyframes.clear()
         self.retriever.clear_database()
+        # preps are keyed by database row — stale after a clear
+        self._prep_cache.clear()
 
     # ------------------------------------------------------------------
     # persistence: the fixed-size binary record store the reference's

@@ -331,3 +331,49 @@ def test_plain_query_and_query_batch_same_normalization(rng):
     bidx, bdist = r.query_batch(h[[3]], top_k=8)
     np.testing.assert_array_equal(sidx, bidx[0])
     np.testing.assert_allclose(sdist, bdist[0], rtol=0, atol=1e-7)
+
+
+def test_two_stage_sharded_retriever_matches_unsharded(rng):
+    """TwoStageRetrieval(mesh=...) row-shards stage 1 with identical
+    results — the pipeline's parallel.shard_retrieval_db flag must not
+    change retrieval outcomes."""
+    from neural_spectral_codec_tpu.keyframe.selector import Keyframe
+    from neural_spectral_codec_tpu.retrieval.two_stage import (
+        TwoStageRetrieval)
+
+    mesh = create_mesh()
+    opts = dict(top_k=5, spatial_filter_distance=0.0, context_window=2,
+                capacity=128)
+    plain = TwoStageRetrieval(**opts)
+    sharded = TwoStageRetrieval(mesh=mesh, **opts)
+    for i in range(40):
+        d = np.abs(rng.random(800)).astype(np.float32)
+        d /= d.sum()
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = rng.random(3) * 500
+        kf = Keyframe(keyframe_id=i, scan_id=i, timestamp=float(i),
+                      pose=pose, points=None, descriptor=d)
+        plain.add_keyframe(kf)
+        sharded.add_keyframe(kf)
+    for q in range(5, 35, 7):
+        c1 = plain._global_retrieval(plain.keyframes[q])
+        c2 = sharded._global_retrieval(sharded.keyframes[q])
+        assert [c.database_idx for c in c1] == [c.database_idx for c in c2]
+        np.testing.assert_allclose([c.distance for c in c1],
+                                   [c.distance for c in c2], atol=1e-5)
+    # snapshot queries agree too
+    c1 = plain._global_retrieval(plain.keyframes[10], as_of_size=20)
+    c2 = sharded._global_retrieval(sharded.keyframes[10], as_of_size=20)
+    assert [c.database_idx for c in c1] == [c.database_idx for c in c2]
+
+
+def test_pipeline_config_shards_retrieval_db(tmp_path, rng):
+    """parallel.shard_retrieval_db wires the sharded retriever into the
+    pipeline (the key existed in configs; it must not be dead)."""
+    from tests.test_pipeline import small_config
+    from neural_spectral_codec_tpu.pipeline import NeuralSpectralCodecPipeline
+
+    cfg = small_config(tmp_path)
+    cfg.setdefault("parallel", {})["shard_retrieval_db"] = True
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    assert isinstance(pipe.retrieval.retriever, ShardedWassersteinRetriever)
