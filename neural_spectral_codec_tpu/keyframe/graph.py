@@ -195,9 +195,14 @@ class TemporalGraphManager:
     """
 
     def __init__(self, temporal_neighbors: int = 5, max_active_nodes: int = 1000,
-                 feature_dim: int = 800, max_loop_per_node: int = 4):
+                 feature_dim: int = 800, max_loop_per_node: int = 4,
+                 freeze_old_embeddings: bool = True):
+        """``freeze_old_embeddings`` (configs keyframe block): when
+        False the sliding window never freezes — the active graph grows
+        unbounded (the reference declared the flag but always froze)."""
         self.temporal_neighbors = temporal_neighbors
         self.max_active_nodes = max_active_nodes
+        self.freeze_old_embeddings = freeze_old_embeddings
         self.feature_dim = feature_dim
         self.max_loop_per_node = max_loop_per_node
         self.keyframes: List[Keyframe] = []
@@ -292,7 +297,8 @@ class TemporalGraphManager:
         self.keyframes.append(keyframe)
         self._id_to_global[keyframe.keyframe_id] = g
         self._graph = None
-        if len(self.keyframes) > self.max_active_nodes:
+        if (self.freeze_old_embeddings
+                and len(self.keyframes) > self.max_active_nodes):
             self._freeze_oldest_node()
         return self._id_to_global[keyframe.keyframe_id] - self._start
 

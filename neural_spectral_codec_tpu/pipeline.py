@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from neural_spectral_codec_tpu.data.pose_utils import is_valid_transformation
 from neural_spectral_codec_tpu.keyframe.graph import (
     TemporalGraphManager, build_graph_from_keyframes)
 from neural_spectral_codec_tpu.keyframe.selector import Keyframe, KeyframeSelector
@@ -146,6 +147,7 @@ class NeuralSpectralCodecPipeline:
         self.graph_manager = TemporalGraphManager(
             temporal_neighbors=self.temporal_neighbors,
             max_active_nodes=kf.get("max_active_nodes", 1000),
+            freeze_old_embeddings=kf.get("freeze_old_embeddings", True),
         )
 
         g = config.get("gnn", {})
@@ -180,17 +182,27 @@ class NeuralSpectralCodecPipeline:
                 logger.warning("parallel.shard_retrieval_db requested but "
                                "only one device present; using the "
                                "unsharded retriever")
+        # stage-1 metric: GNN embeddings force L2; raw descriptors use W1
+        # unless retrieval.use_wasserstein is explicitly disabled
+        stage1_metric = ("l2" if (self.use_embeddings_for_retrieval
+                                  or not r.get("use_wasserstein", True))
+                         else "wasserstein")
         self.retrieval = TwoStageRetrieval(
-            stage1_metric=("l2" if self.use_embeddings_for_retrieval
-                           else "wasserstein"),
+            stage1_metric=stage1_metric,
             top_k=r.get("top_k", 10),
-            spatial_filter_distance=r.get("spatial_filter_distance", 50.0),
+            # loop_closing.min_loop_distance is the reference-surface
+            # alias for the stage-1 spatial exclusion radius
+            spatial_filter_distance=r.get(
+                "spatial_filter_distance",
+                cfg_get(config, "loop_closing.min_loop_distance", 50.0)),
             context_window=r.get("context_window", 10),
             fitness_threshold=r.get("icp_fitness_threshold", 0.3),
             rmse_threshold=r.get("icp_rmse_threshold", 0.5),
             verification_method=r.get("verification_method", "gicp"),
             n_bins=self.encoder_config.output_dim,
-            capacity=r.get("database_capacity", 100_000),
+            capacity=r.get("database_capacity",
+                           cfg_get(config, "database.max_database_size",
+                                   100_000)),
             icp_max_iterations=r.get("icp_max_iterations", 30),
             voxel_downsample=r.get("voxel_downsample", 0.3),
             verification_max_points=r.get("verification_max_points", 4096),
@@ -213,10 +225,17 @@ class NeuralSpectralCodecPipeline:
         sel = selector or self.selector
         new_kfs: List[Keyframe] = []
         n_skipped = 0
+        check_poses = cfg_get(self.config, "quality.validate_poses", False)
         with self.profiler.profile(f"select_seq{sequence_id}"):
             for scan_id in range(len(loader)):
                 try:
                     frame = loader[scan_id]
+                    if check_poses and not is_valid_transformation(
+                            np.asarray(frame["pose"], np.float64)):
+                        n_skipped += 1
+                        logger.warning("Skipping scan %d: invalid SE(3) "
+                                       "pose", scan_id)
+                        continue
                     selected, kf, _ = sel.process_scan(
                         scan_id, frame["points"], frame["pose"],
                         frame["timestamp"], sequence_id=sequence_id)
@@ -312,6 +331,7 @@ class NeuralSpectralCodecPipeline:
         val_poses = (np.array([kf.pose for kf in val_kfs])
                      if val_kfs else None)
 
+        ckpt = self.config.get("checkpoint", {})
         with self.profiler.profile("train"):
             trainer.train(
                 train_graph=train_graph,
@@ -322,6 +342,12 @@ class NeuralSpectralCodecPipeline:
                 val_poses=val_poses,
                 n_epochs=n_epochs or tr.get("n_epochs", 50),
                 triplet_miner=miner,
+                early_stopping=tr.get("early_stopping", True),
+                n_triplets_per_anchor=trip.get("n_negatives_per_anchor", 1),
+                recall_ks=cfg_get(self.config, "validation.recall_k_values",
+                                  [1, 5, 10]),
+                save_best=ckpt.get("save_best", True),
+                save_last=ckpt.get("save_last", True),
             )
         self.params, self.batch_stats = trainer.params, trainer.batch_stats
         self.profiler.log_summary()
@@ -606,8 +632,15 @@ def run_pipeline(config_path: str, mode: str = "train") -> None:
         loaders = _loaders_from_config(config, "test") or \
             _loaders_from_config(config, "val")
         ckpt = cfg_get(config, "model.checkpoint_path")
-        out = cfg_get(config, "loop_closing.output_path",
-                      "outputs/loop_closures.g2o")
+        # the only supported edge format is g2o (like the reference);
+        # any other value disables the export rather than mislabeling it
+        fmt = cfg_get(config, "loop_closing.output_format", "g2o")
+        out = (cfg_get(config, "loop_closing.output_path",
+                       "outputs/loop_closures.g2o")
+               if fmt == "g2o" else None)
+        if fmt != "g2o":
+            logger.warning("loop_closing.output_format=%s not supported; "
+                           "edge export disabled (only g2o)", fmt)
         for loader in loaders:
             pipeline.run_online(
                 loader, checkpoint_path=ckpt,

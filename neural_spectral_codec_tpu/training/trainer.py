@@ -246,17 +246,22 @@ class GNNTrainer:
 
     def validate(self, val_graph: KeyframeGraph, val_poses: np.ndarray,
                  distance_threshold: float = 5.0,
-                 skip_frames: int = 30) -> Dict[str, float]:
+                 skip_frames: int = 30,
+                 ks=(1, 5, 10)) -> Dict[str, float]:
         emb = self.embed(val_graph)
         metrics = {}
-        for k in (1, 5, 10):
+        ks = tuple(ks)
+        if 1 not in ks:           # R@1 drives best-checkpoint/early-stop
+            ks = (1,) + ks
+        for k in sorted(ks):
             r, nq = recall_loop_closure(emb, val_poses, k,
                                         distance_threshold, skip_frames)
             metrics[f"recall@{k}"] = r
             metrics["n_queries"] = nq
-        logger.info("Validation | R@1 %.4f | R@5 %.4f | R@10 %.4f | Q=%d",
-                    metrics["recall@1"], metrics["recall@5"],
-                    metrics["recall@10"], metrics["n_queries"])
+        logger.info("Validation | %s | Q=%d",
+                    " | ".join(f"R@{k} {metrics[f'recall@{k}']:.4f}"
+                               for k in sorted(ks)),
+                    metrics["n_queries"])
         return metrics
 
     # ------------------------------------------------------------------
@@ -267,7 +272,17 @@ class GNNTrainer:
               val_graph: Optional[KeyframeGraph] = None,
               val_poses: Optional[np.ndarray] = None,
               n_epochs: int = 50,
-              triplet_miner: Optional[TripletMiner] = None) -> None:
+              triplet_miner: Optional[TripletMiner] = None,
+              early_stopping: bool = True,
+              n_triplets_per_anchor: int = 1,
+              recall_ks=(1, 5, 10),
+              save_best: bool = True, save_last: bool = True,
+              save_every_epochs: int = 10) -> None:
+        """Config-surface knobs (training.yaml): ``early_stopping``
+        toggles the patience-based stop; ``n_triplets_per_anchor`` is the
+        triplet block's n_negatives_per_anchor; ``recall_ks`` the
+        validation block's recall_k_values; save_* the checkpoint
+        block."""
         if triplet_miner is None:
             triplet_miner = create_triplet_miner()
         logger.info("Training for %d epochs on %d-node graph",
@@ -283,13 +298,14 @@ class GNNTrainer:
                 logger.info("Epoch %d: learning rate -> %.2e", epoch + 1,
                             self.current_lr)
             t0 = time.perf_counter()
-            avg_loss = self.train_epoch(train_graph, triplet_miner,
-                                        train_poses, train_descriptors,
-                                        sequence_ids=train_sequence_ids)
+            avg_loss = self.train_epoch(
+                train_graph, triplet_miner, train_poses, train_descriptors,
+                sequence_ids=train_sequence_ids,
+                n_triplets_per_anchor=n_triplets_per_anchor)
             self._log_metrics({"train_loss": avg_loss, "lr": self.current_lr,
                                "epoch_seconds": time.perf_counter() - t0})
             if val_graph is not None and val_poses is not None:
-                metrics = self.validate(val_graph, val_poses)
+                metrics = self.validate(val_graph, val_poses, ks=recall_ks)
                 self.val_metrics.append(metrics)
                 self._log_metrics(dict(metrics))
                 logger.info("Epoch %d/%d | Loss %.4f | R@1 %.4f | %.1fs",
@@ -297,11 +313,13 @@ class GNNTrainer:
                             metrics["recall@1"], time.perf_counter() - t0)
                 if metrics["recall@1"] > self.best_val_metric:
                     self.best_val_metric = metrics["recall@1"]
-                    self.save_checkpoint("best_model")
+                    if save_best:
+                        self.save_checkpoint("best_model")
                     self.epochs_without_improvement = 0
                 else:
                     self.epochs_without_improvement += 1
-                if self.epochs_without_improvement >= self.patience:
+                if early_stopping and \
+                        self.epochs_without_improvement >= self.patience:
                     logger.info("Early stopping after %d stale epochs "
                                 "(best R@1 %.4f)", self.patience,
                                 self.best_val_metric)
@@ -310,9 +328,10 @@ class GNNTrainer:
                 logger.info("Epoch %d/%d | Loss %.4f | %.1fs",
                             epoch + 1, n_epochs, avg_loss,
                             time.perf_counter() - t0)
-            if (epoch + 1) % 10 == 0:
+            if save_every_epochs and (epoch + 1) % save_every_epochs == 0:
                 self.save_checkpoint(f"checkpoint_epoch_{epoch + 1}")
-        self.save_checkpoint("final_model")
+        if save_last:
+            self.save_checkpoint("final_model")
         logger.info("Training complete in %.1fs | best R@1 %.4f",
                     time.perf_counter() - t_start, self.best_val_metric)
 

@@ -36,8 +36,12 @@ def main(argv=None):
     else:
         loaders = (_loaders_from_config(config, "test")
                    or _loaders_from_config(config, "val"))
-    out = args.output or config.get("benchmark", {}).get(
-        "results_path", "outputs/benchmark_results.json")
+    bench = config.get("benchmark", {})
+    out_dir = config.get("system", {}).get("output_dir", "outputs")
+    out = args.output or bench.get(
+        "results_path", f"{out_dir}/benchmark_results.json")
+    if not bench.get("save_results", True) and not args.output:
+        out = None
     results = run_benchmark(loaders, config, checkpoint_path=args.checkpoint,
                             results_path=out)
     print(json.dumps(results.get("mean", results), indent=2))
