@@ -127,6 +127,45 @@ struct SortedGrid {
   }
 };
 
+
+// k-NN PCA covariance of q's neighborhood: gather candidates from the
+// grid, keep the k nearest (nth_element — PCA needs the SET, not its
+// order), accumulate centered second moments into C. Returns the
+// neighbor count used. Shared by normal and GICP-covariance estimation.
+static int knn_pca_covariance(const SortedGrid& grid, const float* pts,
+                              const float* q, int k,
+                              std::vector<int>& cand,
+                              std::vector<std::pair<float, int>>& dist,
+                              double C[3][3]) {
+  grid.candidates(q, k, cand);
+  dist.clear();
+  for (int j : cand) {
+    float dx = pts[3 * j] - q[0], dy = pts[3 * j + 1] - q[1],
+          dz = pts[3 * j + 2] - q[2];
+    dist.push_back({dx * dx + dy * dy + dz * dz, j});
+  }
+  int kk = std::min((int)dist.size(), k);
+  std::nth_element(dist.begin(), dist.begin() + (kk ? kk - 1 : 0),
+                   dist.end());
+  double mx = 0, my = 0, mz = 0;
+  for (int t = 0; t < kk; t++) {
+    int j = dist[t].second;
+    mx += pts[3 * j]; my += pts[3 * j + 1]; mz += pts[3 * j + 2];
+  }
+  if (kk > 0) { mx /= kk; my /= kk; mz /= kk; }
+  for (int a = 0; a < 3; a++)
+    for (int c = 0; c < 3; c++) C[a][c] = 0.0;
+  for (int t = 0; t < kk; t++) {
+    int j = dist[t].second;
+    double cx = pts[3 * j] - mx, cy = pts[3 * j + 1] - my,
+           cz = pts[3 * j + 2] - mz;
+    C[0][0] += cx * cx; C[0][1] += cx * cy; C[0][2] += cx * cz;
+    C[1][1] += cy * cy; C[1][2] += cy * cz; C[2][2] += cz * cz;
+  }
+  C[1][0] = C[0][1]; C[2][0] = C[0][2]; C[2][1] = C[1][2];
+  return kk;
+}
+
 // --- tiny linear algebra --------------------------------------------------
 
 // symmetric 3x3 eigen-decomposition by Jacobi rotations; eigenvalues land
@@ -296,33 +335,8 @@ void nsc_estimate_normals(const float* pts, int n, int k, float grid_cell,
   std::vector<int> cand;
   std::vector<std::pair<float, int>> dist;
   for (int i = 0; i < n; i++) {
-    const float* q = &pts[3 * i];
-    grid.candidates(q, k, cand);
-    dist.clear();
-    for (int j : cand) {
-      float dx = pts[3 * j] - q[0], dy = pts[3 * j + 1] - q[1],
-            dz = pts[3 * j + 2] - q[2];
-      dist.push_back({dx * dx + dy * dy + dz * dz, j});
-    }
-    int kk = std::min((int)dist.size(), k);
-    // PCA needs the k-nearest SET, not their order
-    std::nth_element(dist.begin(), dist.begin() + (kk ? kk - 1 : 0),
-                     dist.end());
-    double mx = 0, my = 0, mz = 0;
-    for (int t = 0; t < kk; t++) {
-      int j = dist[t].second;
-      mx += pts[3 * j]; my += pts[3 * j + 1]; mz += pts[3 * j + 2];
-    }
-    if (kk > 0) { mx /= kk; my /= kk; mz /= kk; }
-    double C[3][3] = {};
-    for (int t = 0; t < kk; t++) {
-      int j = dist[t].second;
-      double cx = pts[3 * j] - mx, cy = pts[3 * j + 1] - my,
-             cz = pts[3 * j + 2] - mz;
-      C[0][0] += cx * cx; C[0][1] += cx * cy; C[0][2] += cx * cz;
-      C[1][1] += cy * cy; C[1][2] += cy * cz; C[2][2] += cz * cz;
-    }
-    C[1][0] = C[0][1]; C[2][0] = C[0][2]; C[2][1] = C[1][2];
+    double C[3][3];
+    knn_pca_covariance(grid, pts, &pts[3 * i], k, cand, dist, C);
     smallest_eigvec3(C, &out[3 * i]);
   }
 }
@@ -339,33 +353,8 @@ void nsc_estimate_covariances(const float* pts, int n, int k,
   std::vector<int> cand;
   std::vector<std::pair<float, int>> dist;
   for (int i = 0; i < n; i++) {
-    const float* q = &pts[3 * i];
-    grid.candidates(q, k, cand);
-    dist.clear();
-    for (int j : cand) {
-      float dx = pts[3 * j] - q[0], dy = pts[3 * j + 1] - q[1],
-            dz = pts[3 * j + 2] - q[2];
-      dist.push_back({dx * dx + dy * dy + dz * dz, j});
-    }
-    int kk = std::min((int)dist.size(), k);
-    // PCA needs the k-nearest SET, not their order
-    std::nth_element(dist.begin(), dist.begin() + (kk ? kk - 1 : 0),
-                     dist.end());
-    double mx = 0, my = 0, mz = 0;
-    for (int t = 0; t < kk; t++) {
-      int j = dist[t].second;
-      mx += pts[3 * j]; my += pts[3 * j + 1]; mz += pts[3 * j + 2];
-    }
-    if (kk > 0) { mx /= kk; my /= kk; mz /= kk; }
-    double C[3][3] = {};
-    for (int t = 0; t < kk; t++) {
-      int j = dist[t].second;
-      double cx = pts[3 * j] - mx, cy = pts[3 * j + 1] - my,
-             cz = pts[3 * j + 2] - mz;
-      C[0][0] += cx * cx; C[0][1] += cx * cy; C[0][2] += cx * cz;
-      C[1][1] += cy * cy; C[1][2] += cy * cz; C[2][2] += cz * cz;
-    }
-    C[1][0] = C[0][1]; C[2][0] = C[0][2]; C[2][1] = C[1][2];
+    double C[3][3];
+    knn_pca_covariance(grid, pts, &pts[3 * i], k, cand, dist, C);
     double V[3][3];
     jacobi_eig3(C, V);
     // rank eigenvalues: the two largest directions get 1, smallest gets eps

@@ -224,7 +224,8 @@ class TemporalGraphManager:
 
     def reset(self):
         self.__init__(self.temporal_neighbors, self.max_active_nodes,
-                      self.feature_dim, self.max_loop_per_node)
+                      self.feature_dim, self.max_loop_per_node,
+                      self.freeze_old_embeddings)
 
     @property
     def frozen_embeddings(self) -> Optional[np.ndarray]:
@@ -253,13 +254,16 @@ class TemporalGraphManager:
             return
         # compact: rebase the buffers at the window start. Capacity is
         # 2·window+2, so this runs at most once per `window` adds.
+        # n_live counts the row being added, which does not exist in the
+        # old buffer yet — copy only the rows that do (n_copy).
         n_live = self._next - self._start
         cap = max(len(self._feat), 2 * (n_live + 1))
         s = self._row(self._start)
+        n_copy = min(n_live, len(self._feat) - s)
         for name in ("_feat", "_poses", "_nbr", "_mask", "_ef"):
             old = getattr(self, name)
             new = np.zeros((cap,) + old.shape[1:], old.dtype)
-            new[:n_live] = old[s:s + n_live]
+            new[:n_copy] = old[s:s + n_copy]
             setattr(self, name, new)
         self._buf_base = self._start
 

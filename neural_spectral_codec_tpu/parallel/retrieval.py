@@ -183,7 +183,9 @@ class ShardedWassersteinRetriever:
         if eff_size == 0:
             qn = len(np.atleast_2d(query_hists))
             return np.zeros((qn, 0), np.int64), np.zeros((qn, 0))
-        k = int(min(top_k, eff_size))
+        # clamp by capacity (one executable per top_k; see the unsharded
+        # retriever) — invalid rows carry inf and are filtered by callers
+        k = int(min(top_k, self.capacity))
         if k not in self._query_fns:
             self._query_fns[k] = _make_query_fn(self.mesh, k, self.metric)
         q = jnp.asarray(np.atleast_2d(np.asarray(query_hists, np.float32)))

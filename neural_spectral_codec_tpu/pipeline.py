@@ -420,8 +420,12 @@ class NeuralSpectralCodecPipeline:
         # with identical shapes compiles the same kernel without touching
         # the live database)
         r = self.retrieval.retriever
-        scratch = type(r)(n_bins=r.n_bins, capacity=r.capacity,
-                          metric=r.metric)
+        if hasattr(r, "mesh"):      # sharded retriever: mesh is positional
+            scratch = type(r)(r.mesh, n_bins=r.n_bins, capacity=r.capacity,
+                              metric=r.metric)
+        else:
+            scratch = type(r)(n_bins=r.n_bins, capacity=r.capacity,
+                              metric=r.metric)
         h = np.full((1, r.n_bins), 1.0 / r.n_bins, np.float32)
         scratch.add_to_database(h, np.zeros((1, 3), np.float32))
         scratch.query(h[0], top_k=self.retrieval.top_k,

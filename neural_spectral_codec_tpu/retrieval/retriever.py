@@ -217,7 +217,11 @@ class WassersteinRetriever:
         eff_size = max(size0 - max(exclude_last, 0), 0)
         if eff_size == 0:
             return np.array([], np.int64), np.array([])
-        k = int(min(top_k, eff_size))
+        # clamp k by CAPACITY, not fill: k is a static argnum, so tying it
+        # to eff_size would compile a fresh executable at every database
+        # size below top_k (and defeat warmup's pre-compilation); rows
+        # beyond eff_size carry inf and are filtered below
+        k = int(min(top_k, self.capacity))
         q = jnp.asarray(query_hist, jnp.float32)  # no-op for device arrays
         qp = np.zeros(4, np.float32)
         if query_position is not None and spatial_min_distance > 0:
@@ -250,7 +254,7 @@ class WassersteinRetriever:
         if eff_size == 0:
             qn = len(np.atleast_2d(query_hists))
             return (np.zeros((qn, 0), np.int64), np.zeros((qn, 0)))
-        k = int(min(top_k, eff_size))
+        k = int(min(top_k, self.capacity))   # one executable per top_k
         q = jnp.asarray(np.atleast_2d(np.asarray(query_hists, np.float32)))
         qn = q.shape[0]
         qp = np.zeros((qn, 4), np.float32)

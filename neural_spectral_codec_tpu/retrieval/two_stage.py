@@ -8,6 +8,7 @@ Stage 2 — geometric verification of the top-k candidates.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -85,6 +86,7 @@ class TwoStageRetrieval:
         # ~200 KB/entry at the 4096-point budget)
         self._prep_cache: Dict[int, "PreparedCloud"] = {}
         self._prep_cache_max = 1024
+        self._prep_lock = threading.Lock()   # workers share the cache
 
     def _stage1_vector(self, keyframe: Keyframe) -> np.ndarray:
         """Under the L2 metric, GNN embeddings drive stage 1 when present
@@ -152,13 +154,19 @@ class TwoStageRetrieval:
     def _keyframe_prep(self, database_idx: int):
         """Verification precomputation for a stored keyframe, cached —
         each cloud's downsample + covariances run once across ALL queries
-        (they dominate verify(); see verification.PreparedCloud)."""
-        prep = self._prep_cache.get(database_idx)
+        (they dominate verify(); see verification.PreparedCloud). Called
+        from verification worker threads: dict reads/evictions are
+        guarded; the expensive prepare() runs outside the lock (a rare
+        concurrent miss costs one duplicate prep, never a wrong result)."""
+        with self._prep_lock:
+            prep = self._prep_cache.get(database_idx)
         if prep is None:
             prep = self.verifier.prepare(self.keyframes[database_idx].points)
-            if len(self._prep_cache) >= self._prep_cache_max:
-                self._prep_cache.pop(next(iter(self._prep_cache)))
-            self._prep_cache[database_idx] = prep
+            with self._prep_lock:
+                if database_idx not in self._prep_cache:
+                    while len(self._prep_cache) >= self._prep_cache_max:
+                        self._prep_cache.pop(next(iter(self._prep_cache)))
+                    self._prep_cache[database_idx] = prep
         return prep
 
     def _geometric_verification(self, query_points: np.ndarray,
@@ -226,7 +234,8 @@ class TwoStageRetrieval:
         self.keyframes.clear()
         self.retriever.clear_database()
         # preps are keyed by database row — stale after a clear
-        self._prep_cache.clear()
+        with self._prep_lock:
+            self._prep_cache.clear()
 
     # ------------------------------------------------------------------
     # persistence: the fixed-size binary record store the reference's

@@ -189,10 +189,14 @@ def test_incremental_manager_matches_batch_builder():
     window = 20
     mgr = TemporalGraphManager(temporal_neighbors=5, max_active_nodes=window,
                                feature_dim=8)
-    poses = loop_trajectory(60)
+    # 200 adds drive the ring buffer through several compaction/rebase
+    # cycles (initial capacity 64 rows; regression for the off-by-one
+    # that crashed every session at capacity — the row being added was
+    # counted as live before it existed in the old buffer)
+    poses = loop_trajectory(200)
     kfs = []
     loop_global = []  # loop edges as (kf_id, kf_id)
-    for i in range(60):
+    for i in range(200):
         kf = Keyframe(keyframe_id=i, scan_id=i, points=np.zeros((1, 3)),
                       pose=poses[i], timestamp=float(i),
                       descriptor=rng.random(8).astype(np.float32))

@@ -314,7 +314,12 @@ def test_plain_query_batch_exclude_last(rng):
     h /= h.sum(axis=1, keepdims=True)
     r.add_to_database(h)
     bidx, bdist = r.query_batch(h[[39, 5]], top_k=40, exclude_last=10)
-    assert bidx.shape[1] == 30 and bidx.max() < 30
+    # k is clamped by capacity (one executable per top_k); excluded rows
+    # carry inf — exactly 30 valid entries, none from the excluded tail
+    assert bidx.shape[1] == 40
+    finite = np.isfinite(bdist)
+    assert finite.sum(axis=1).tolist() == [30, 30]
+    assert bidx[finite].max() < 30
     sidx, sdist = r.query(h[39], top_k=40, exclude_last=10)
     keep = np.isfinite(bdist[0])
     np.testing.assert_allclose(np.sort(bdist[0][keep]), np.sort(sdist),
