@@ -105,6 +105,23 @@ def test_pipeline_online_async_matches_sync(tmp_path):
     assert sorted(map(key, async_edges)) == sorted(map(key, sync_edges))
 
 
+def test_pipeline_online_survives_buffer_compaction(tmp_path):
+    """A long online session must run the graph manager's ring buffer
+    through its compaction/rebase boundary (initial capacity 64 rows) —
+    regression for the off-by-one that crashed every session at
+    capacity. Small window so freezes and compaction both trigger."""
+    cfg = small_config(tmp_path, keyframe={"distance_threshold": 2.0,
+                                           "max_active_nodes": 12},
+                       retrieval={"spatial_filter_distance": 0.0,
+                                  "top_k": 2, "icp_max_iterations": 3})
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    loader = SyntheticLoader(n_frames=120, seed=0, n_points=2048, loops=2.0)
+    pipe.run_online(loader, loop_closure_interval=20)
+    assert len(pipe.selector.keyframes) > 64     # crossed the boundary
+    assert len(pipe.graph_manager.keyframes) == 12
+    assert len(pipe.graph_manager.frozen_keyframes) > 50
+
+
 def test_pipeline_warmup_precompiles(tmp_path):
     """warmup() pre-compiles serving executables without touching the
     live database/graph, and the online loop still works after it."""
