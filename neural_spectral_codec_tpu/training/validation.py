@@ -22,18 +22,36 @@ import numpy as np
 
 
 def find_revisit_queries(positions: np.ndarray, distance_threshold: float = 5.0,
-                         skip_frames: int = 30) -> np.ndarray:
+                         skip_frames: int = 30,
+                         row_chunk: int = 2048) -> np.ndarray:
     """(Q, 2) array of (query_idx j, revisited_idx i) — vectorized version
-    of trainer.py:344-351's first-revisit scan."""
+    of trainer.py:344-351's first-revisit scan.
+
+    Row-chunked with the dot-product distance identity so peak memory is
+    O(row_chunk · n) instead of the (n, n, 3) broadcast — a 100k-keyframe
+    validation would otherwise need hundreds of GB of host RAM."""
     n = len(positions)
-    d = np.linalg.norm(positions[:, None] - positions[None], axis=-1)
+    # float64: the dot-product identity cancels |p|²-magnitude terms, so
+    # f32 would lose ~|p|²·eps of the small squared distance (meters of
+    # error on km-scale trajectories); f64 keeps it exact to ~1e-9
+    p = np.asarray(positions, np.float64)
+    qq = (p * p).sum(axis=1)
     j_idx = np.arange(n)
-    band = (j_idx[None, :] - j_idx[:, None]) >= skip_frames  # j ≥ i+skip
-    hit = (d < distance_threshold) & band
-    has = hit.any(axis=1)
-    first_j = np.argmax(hit, axis=1)
-    i = np.nonzero(has)[0]
-    return np.stack([first_j[i], i], axis=1)
+    thr2 = float(distance_threshold) ** 2
+    out = []
+    for s in range(0, n, row_chunk):
+        rows = p[s:s + row_chunk]
+        d2 = (qq[s:s + row_chunk, None] + qq[None, :]
+              - 2.0 * rows @ p.T)                       # (c, n)
+        band = (j_idx[None, :] - (s + np.arange(len(rows)))[:, None]) \
+            >= skip_frames
+        hit = (d2 < thr2) & band
+        has = hit.any(axis=1)
+        first_j = np.argmax(hit, axis=1)
+        i_local = np.nonzero(has)[0]
+        out.append(np.stack([first_j[i_local], s + i_local], axis=1))
+    return (np.concatenate(out) if out
+            else np.zeros((0, 2), np.int64))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "skip_frames"))

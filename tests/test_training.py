@@ -329,3 +329,24 @@ def test_normalized_triplet_loss():
     big = float(triplet_loss(jnp.asarray(a * 100), jnp.asarray(p),
                              jnp.asarray(n), margin=0.0, normalize=True))
     assert big <= 4.0
+
+
+def test_find_revisit_queries_chunked_matches_direct(rng):
+    """The row-chunked dot-product revisit scan must reproduce the direct
+    (n, n, 3) broadcast exactly — including across chunk boundaries."""
+    n = 500
+    t = np.linspace(0, 4 * np.pi, n)
+    pos = np.stack([50 * np.cos(t), 50 * np.sin(t),
+                    rng.normal(0, 0.5, n)], axis=1).astype(np.float32)
+    # direct reference formulation
+    d = np.linalg.norm(pos[:, None].astype(np.float64)
+                       - pos[None].astype(np.float64), axis=-1)
+    j_idx = np.arange(n)
+    band = (j_idx[None, :] - j_idx[:, None]) >= 30
+    hit = (d < 5.0) & band
+    has = hit.any(axis=1)
+    want = np.stack([np.argmax(hit, axis=1)[has], np.nonzero(has)[0]], 1)
+
+    got = find_revisit_queries(pos, 5.0, 30, row_chunk=64)
+    np.testing.assert_array_equal(got, want)
+    assert len(got) > 50   # the loop trajectory must actually revisit
