@@ -37,7 +37,8 @@ logger = logging.getLogger(__name__)
 def evaluate_place_recognition(embeddings: np.ndarray, poses: np.ndarray,
                                k_values: Sequence[int] = (1, 5, 10),
                                distance_threshold: float = 5.0,
-                               skip_frames: int = 30) -> Dict[str, float]:
+                               skip_frames: int = 30,
+                               query_chunk: int = 4096) -> Dict[str, float]:
     """Recall@K, Precision@1, F1@1 over revisit queries, all batched on
     device (the reference's O(n²) Python-loop validation, but it never
     computed precision/F1 despite promising them in config)."""
@@ -54,23 +55,41 @@ def evaluate_place_recognition(embeddings: np.ndarray, poses: np.ndarray,
         out.update({"precision@1": 0.0, "f1@1": 0.0})
         return out
 
+    import functools
     import jax
 
     emb = jnp.asarray(embeddings)
     pos = jnp.asarray(positions)
-    q = jnp.asarray(queries[:, 0])  # query frame of each (query, revisit)
     kmax = max(k_values)
 
-    # distances from each query embedding to all db embeddings, excluding
-    # temporal neighbors (same protocol as validation._recall_kernel)
-    d = jnp.linalg.norm(emb[q][:, None, :] - emb[None, :, :], axis=-1)
-    gap = jnp.abs(q[:, None] - jnp.arange(len(embeddings))[None, :])
-    d = jnp.where(gap > skip_frames, d, jnp.inf)
-    _, topk = jax.lax.top_k(-d, kmax)
+    @functools.partial(jax.jit, static_argnames=("kmax", "skip_frames"))
+    def _hit_chunk(emb, pos, q, kmax: int, distance_threshold,
+                   skip_frames: int):
+        # distances from each query embedding to all db embeddings,
+        # excluding temporal neighbors (validation._recall_kernel protocol)
+        d = jnp.linalg.norm(emb[q][:, None, :] - emb[None, :, :], axis=-1)
+        gap = jnp.abs(q[:, None] - jnp.arange(emb.shape[0])[None, :])
+        d = jnp.where(gap > skip_frames, d, jnp.inf)
+        _, topk = jax.lax.top_k(-d, kmax)
+        geo = jnp.linalg.norm(pos[q][:, None, :] - pos[topk], axis=-1)
+        return geo < distance_threshold           # (c, kmax)
 
-    geo = jnp.linalg.norm(pos[q][:, None, :] - pos[topk], axis=-1)
-    hit = geo < distance_threshold  # (Q, kmax)
-    hit = np.asarray(hit)
+    # chunk the query axis: the unchunked (Q, n) distance matrix (and its
+    # top-k) would be tens of GB at the 100k-keyframe scale the configs
+    # advertise; one fixed chunk shape keeps a single executable
+    chunk = query_chunk
+    qs = queries[:, 0].astype(np.int64)
+    parts = []
+    for s in range(0, len(qs), chunk):
+        part = qs[s:s + chunk]
+        pad = 0
+        if len(part) < chunk and len(qs) > chunk:
+            pad = chunk - len(part)
+            part = np.concatenate([part, np.repeat(part[-1:], pad)])
+        h = np.asarray(_hit_chunk(emb, pos, jnp.asarray(part), kmax,
+                                  distance_threshold, skip_frames))
+        parts.append(h[:len(h) - pad] if pad else h)
+    hit = np.concatenate(parts)                   # (Q, kmax)
 
     for k in k_values:
         out[f"recall@{k}"] = float(hit[:, :k].any(axis=1).mean())

@@ -106,3 +106,21 @@ def test_benchmark_rotation_invariance_gate(tmp_path):
         [SyntheticLoader(n_frames=60, seed=0, n_points=4096, loops=2.0)],
         cfg, results_path=str(tmp_path / "r.json"))
     assert res["rotation_invariance"]["passed"]
+
+
+def test_evaluate_place_recognition_chunked_matches_unchunked(rng):
+    """Query chunking (with last-chunk padding) must not change any
+    metric — regression for the O(Q*n) memory fix."""
+    from neural_spectral_codec_tpu.evaluation import (
+        evaluate_place_recognition)
+    n = 260
+    t = np.linspace(0, 4 * np.pi, n)
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = 60 * np.cos(t)
+    poses[:, 1, 3] = 60 * np.sin(t)
+    emb = rng.random((n, 16)).astype(np.float32)
+    full = evaluate_place_recognition(emb, poses, (1, 5), 5.0, 30,
+                                      query_chunk=100000)
+    chunked = evaluate_place_recognition(emb, poses, (1, 5), 5.0, 30,
+                                         query_chunk=17)
+    assert full == chunked and full["n_queries"] > 40
