@@ -65,12 +65,17 @@ def evaluate_place_recognition(embeddings: np.ndarray, poses: np.ndarray,
     @functools.partial(jax.jit, static_argnames=("kmax", "skip_frames"))
     def _hit_chunk(emb, pos, q, kmax: int, distance_threshold,
                    skip_frames: int):
-        # distances from each query embedding to all db embeddings,
-        # excluding temporal neighbors (validation._recall_kernel protocol)
-        d = jnp.linalg.norm(emb[q][:, None, :] - emb[None, :, :], axis=-1)
+        # rank by squared embedding distance via the dot-product identity
+        # (an MXU matmul): the elementwise |a-b| formulation materializes
+        # a (c, n, D) intermediate — hundreds of GB at scale
+        qe = emb[q]
+        d2 = (jnp.sum(qe * qe, axis=1)[:, None]
+              + jnp.sum(emb * emb, axis=1)[None, :]
+              - 2.0 * jax.lax.dot(qe, emb.T,
+                                  precision=jax.lax.Precision.HIGHEST))
         gap = jnp.abs(q[:, None] - jnp.arange(emb.shape[0])[None, :])
-        d = jnp.where(gap > skip_frames, d, jnp.inf)
-        _, topk = jax.lax.top_k(-d, kmax)
+        d2 = jnp.where(gap > skip_frames, d2, jnp.inf)
+        _, topk = jax.lax.top_k(-d2, kmax)
         geo = jnp.linalg.norm(pos[q][:, None, :] - pos[topk], axis=-1)
         return geo < distance_threshold           # (c, kmax)
 

@@ -60,8 +60,13 @@ def _recall_kernel(embeddings, positions, queries, k: int,
     n = embeddings.shape[0]
     q = queries[:, 0]
     qe = embeddings[q]                           # (Q, D)
-    # embedding distances query→all
-    ed = jnp.linalg.norm(qe[:, None, :] - embeddings[None, :, :], axis=-1)
+    # squared embedding distances query→all via the dot-product identity
+    # (MXU matmul; the |a-b| broadcast would materialize (Q, n, D)) —
+    # ranking by d² is order-identical to ranking by d
+    ed = (jnp.sum(qe * qe, axis=1)[:, None]
+          + jnp.sum(embeddings * embeddings, axis=1)[None, :]
+          - 2.0 * jax.lax.dot(qe, embeddings.T,
+                              precision=jax.lax.Precision.HIGHEST))
     gap = jnp.abs(q[:, None] - jnp.arange(n)[None, :])
     ed = jnp.where(gap > skip_frames, ed, jnp.inf)  # exclude temporal nbrs
     _, top = jax.lax.top_k(-ed, k)               # (Q, k) nearest candidates
