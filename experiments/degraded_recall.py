@@ -95,7 +95,7 @@ def main(argv=None):
     if args.clean and trainer.best_val_metric < raw[1] - 0.02:
         print("SAFETY FAIL: GNN degraded clean-data recall "
               f"({trainer.best_val_metric:.3f} < {raw[1]:.3f})")
-        return raw[1], trainer.best_val_metric
+        sys.exit(1)   # nonzero so automation catches the regression
     if args.clean:
         print("SAFETY OK: GNN does not degrade clean-data recall")
     return raw[1], trainer.best_val_metric

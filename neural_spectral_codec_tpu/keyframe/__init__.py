@@ -8,6 +8,7 @@ from neural_spectral_codec_tpu.keyframe.criteria import (  # noqa: F401
 from neural_spectral_codec_tpu.keyframe.selector import (  # noqa: F401
     Keyframe,
     KeyframeSelector,
+    select_keyframes_from_kitti,
 )
 from neural_spectral_codec_tpu.keyframe.graph import (  # noqa: F401
     KeyframeGraph,

@@ -7,10 +7,13 @@ forced (:122-135), OR-logic criteria, FIFO cap at ``max_keyframes``
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from neural_spectral_codec_tpu.keyframe.criteria import KeyframeSelectionCriteria
 
@@ -176,3 +179,34 @@ class KeyframeSelector:
         assert len(embeddings) == len(self.keyframes)
         for kf, e in zip(self.keyframes, embeddings):
             kf.embedding = e
+
+
+def select_keyframes_from_kitti(
+    kitti_loader,
+    distance_threshold: float = 0.5,
+    rotation_threshold: float = 15.0,
+    overlap_threshold: float = 0.7,
+    temporal_threshold: float = 5.0,
+) -> List[Keyframe]:
+    """Run keyframe selection over a whole loader and log summary stats
+    (reference selector.py:363-407; logs instead of printing). Works with
+    any loader exposing ``__len__``/``__getitem__`` → frame dicts, not
+    just KITTI — the name matches the reference surface."""
+    selector = KeyframeSelector(
+        distance_threshold=distance_threshold,
+        rotation_threshold=rotation_threshold,
+        overlap_threshold=overlap_threshold,
+        temporal_threshold=temporal_threshold,
+    )
+    for scan_id in range(len(kitti_loader)):
+        frame = kitti_loader[scan_id]
+        selector.process_scan(scan_id, frame["points"], frame["pose"],
+                              frame["timestamp"])
+    stats = selector.get_statistics()
+    logger.info("Selected %d keyframes from %d scans",
+                stats["num_keyframes"], stats["num_scans"])
+    logger.info("Compression ratio: %.1fx", stats["compression_ratio"])
+    if "avg_keyframe_rate_hz" in stats:
+        logger.info("Avg keyframe rate: %.2f Hz",
+                    stats["avg_keyframe_rate_hz"])
+    return selector.keyframes

@@ -176,7 +176,7 @@ class ShardedWassersteinRetriever:
         global top-k. ``exclude_last`` drops the newest entries (temporal
         context exclusion) and ``as_of_size`` queries a database-size
         snapshot — both with the unsharded retriever's semantics.
-        Excluded entries carry inf distance."""
+        Excluded entries carry inf distance and index -1."""
         size0 = self.database_size if as_of_size is None else \
             min(int(as_of_size), self.database_size)
         eff_size = max(size0 - max(exclude_last, 0), 0)
@@ -199,7 +199,23 @@ class ShardedWassersteinRetriever:
             idx, dist = self._query_fns[k](
                 self._db_cdf, self._db_pos, jnp.int32(eff_size),
                 q_cdf, jnp.asarray(qp))
-        return np.asarray(idx), np.asarray(dist)
+        idx, dist = np.asarray(idx, np.int64), np.asarray(dist)
+        # same -1 sentinel contract as the unsharded retriever: excluded
+        # slots must not surface clamp-artifact row ids
+        return np.where(np.isfinite(dist), idx, -1), dist
+
+    def warm_query(self, top_k: int) -> None:
+        """Compile the sharded query executable against the live buffers
+        (size forced to 1, result discarded) — no scratch allocation; see
+        the unsharded retriever's ``warm_query``."""
+        k = int(min(top_k, self.capacity))
+        if k not in self._query_fns:
+            self._query_fns[k] = _make_query_fn(self.mesh, k, self.metric)
+        q = jnp.full((1, self.n_bins), 1.0 / self.n_bins, jnp.float32)
+        qp = jnp.zeros((1, 4), jnp.float32)
+        with self._buffer_lock:
+            self._query_fns[k](self._db_cdf, self._db_pos, jnp.int32(1),
+                               q, qp)
 
     def clear_database(self) -> None:
         with self._buffer_lock:

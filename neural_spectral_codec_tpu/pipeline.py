@@ -48,7 +48,17 @@ from neural_spectral_codec_tpu.utils.profiler import Profiler
 logger = logging.getLogger(__name__)
 
 
-def enable_compilation_cache(cache_dir: str = "/tmp/nsc_jax_cache") -> None:
+def _default_cache_dir() -> str:
+    """Per-user cache location: a world-shared /tmp path would let another
+    user on a multi-user host own the directory (breaking cache writes, or
+    worse, poisoning compiled executables)."""
+    import os
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "nsc_jax_cache")
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
     """Persistent XLA compilation cache: cold starts reuse compiled
     executables from previous processes. The first-ever compiles take
     minutes on a fresh machine and would otherwise surface as mid-stream
@@ -57,6 +67,8 @@ def enable_compilation_cache(cache_dir: str = "/tmp/nsc_jax_cache") -> None:
     dominated by imports/backend init rather than compilation. Safe to
     call more than once; a no-op if the config is already set."""
     import jax
+    if cache_dir is None:
+        cache_dir = _default_cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -113,8 +125,7 @@ class NeuralSpectralCodecPipeline:
         self.profiler = Profiler()
         if cfg_get(config, "system.compilation_cache", True):
             enable_compilation_cache(
-                cfg_get(config, "system.compilation_cache_dir",
-                        "/tmp/nsc_jax_cache"))
+                cfg_get(config, "system.compilation_cache_dir", None))
 
         enc = config.get("encoding", {})
         elev = tuple(enc.get("elevation_range", (-24.8, 2.0)))
@@ -419,22 +430,11 @@ class NeuralSpectralCodecPipeline:
         mgr.add_loop_closure_edge(17, 8)
         local.update_embeddings_local(mgr, node)
 
-        # stage-1 query executable (shared jit cache: a scratch retriever
-        # with identical shapes compiles the same kernel without touching
-        # the live database)
-        r = self.retrieval.retriever
-        if hasattr(r, "mesh"):      # sharded retriever: mesh is positional
-            scratch = type(r)(r.mesh, n_bins=r.n_bins, capacity=r.capacity,
-                              metric=r.metric)
-        else:
-            scratch = type(r)(n_bins=r.n_bins, capacity=r.capacity,
-                              metric=r.metric)
-        h = np.full((1, r.n_bins), 1.0 / r.n_bins, np.float32)
-        scratch.add_to_database(h, np.zeros((1, 3), np.float32))
-        scratch.query(h[0], top_k=self.retrieval.top_k,
-                      query_position=np.zeros(3, np.float32),
-                      spatial_min_distance=max(
-                          self.retrieval.spatial_filter_distance, 1.0))
+        # stage-1 query executable: compiled against the LIVE database
+        # buffers with the effective size forced to 1 — no scratch
+        # retriever, so warmup allocates nothing (a scratch copy at the
+        # 1M-descriptor capacity would transiently double ~3.2 GB)
+        self.retrieval.retriever.warm_query(self.retrieval.top_k)
         logger.info("warmup: serving executables ready in %.1f s",
                     time.perf_counter() - t0)
 
@@ -463,8 +463,14 @@ class NeuralSpectralCodecPipeline:
         SLAM split: odometry-rate front end, background loop closure).
         Verified edges are harvested into the graph as they complete and
         drained before returning, so the final edge set matches the
-        synchronous mode."""
+        synchronous mode — unless ``max_active_nodes`` is small enough
+        that a query keyframe is frozen out of the active window before
+        its background query completes; such edges still appear in the
+        returned list / g2o export but are counted in
+        ``self._n_graph_edge_misses`` and logged instead of being applied
+        to the live graph."""
         import jax
+        self._n_graph_edge_misses = 0
         db_base = 0
         if (resume_database and database_path
                 and Path(database_path).exists()):
@@ -507,9 +513,24 @@ class NeuralSpectralCodecPipeline:
         n_queries = 0
 
         def _apply_edges(query_id: int, edges: List[Dict]) -> None:
+            # NOTE: under async loop closing with a small max_active_nodes,
+            # a background query's keyframe can be frozen out of the active
+            # window before harvest — the edge then still appears in the
+            # returned loop-closure list (and the g2o export) but cannot be
+            # inserted into the live GNN graph. Count and surface that
+            # instead of dropping it silently.
+            n_missed = 0
             for e in edges:
-                self.graph_manager.add_loop_closure_edge(
-                    query_id, e["target_id"])
+                if not self.graph_manager.add_loop_closure_edge(
+                        query_id, e["target_id"]):
+                    n_missed += 1
+            if n_missed:
+                self._n_graph_edge_misses += n_missed
+                logger.warning(
+                    "query kf %d: %d/%d loop-closure edges not inserted "
+                    "into the GNN graph (endpoint frozen out of the "
+                    "active window before harvest)", query_id, n_missed,
+                    len(edges))
             if edges:
                 all_loop_closures.extend(edges)
                 logger.info("query kf %d: %d loop closures", query_id,

@@ -244,7 +244,7 @@ class WassersteinRetriever:
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched top-k for (Q, n_bins) queries in one dispatch. Returns
         (Q, k) indices and distances; excluded/invalid entries carry inf
-        distance. ``exclude_last`` drops the most recently inserted entries
+        distance and index -1. ``exclude_last`` drops the most recently inserted entries
         and ``as_of_size`` queries a database-size snapshot (same
         semantics as :meth:`query`). ~Q× cheaper per query than
         :meth:`query` because the database is streamed from HBM once."""
@@ -265,7 +265,29 @@ class WassersteinRetriever:
             idx, dist = _query_batch_kernel(
                 self._db_cdf, self._db_pos, jnp.int32(eff_size), q,
                 jnp.asarray(qp), k, self.metric, epsilon=self.epsilon)
-        return np.asarray(idx), np.asarray(dist)
+        idx, dist = np.asarray(idx, np.int64), np.asarray(dist)
+        # excluded/empty slots: the device kernel clamps their indices
+        # into range (a plausible-looking row id) — return the sentinel
+        # -1 instead so a consumer that forgets the isfinite filter
+        # fails loudly rather than silently matching the wrong row
+        return np.where(np.isfinite(dist), idx, -1), dist
+
+    def warm_query(self, top_k: int) -> None:
+        """Compile the single- and batched-query executables against the
+        LIVE buffers, with the effective size forced to 1 (row 0's content
+        is irrelevant; the result is discarded). Unlike warming through a
+        scratch retriever at full capacity, this allocates nothing — at
+        the 1M-descriptor capacity a scratch copy would transiently
+        double ~3.2 GB of device buffers."""
+        k = int(min(top_k, self.capacity))
+        q = jnp.full((self.n_bins,), 1.0 / self.n_bins, jnp.float32)
+        qp = jnp.asarray(np.array([0.0, 0.0, 0.0, 1.0], np.float32))
+        with self._buffer_lock:
+            _query_kernel(self._db_cdf, self._db_pos, jnp.int32(1), q, qp,
+                          k, self.metric, epsilon=self.epsilon)
+            _query_batch_kernel(self._db_cdf, self._db_pos, jnp.int32(1),
+                                q[None], qp[None], k, self.metric,
+                                epsilon=self.epsilon)
 
     def clear_database(self) -> None:
         with self._buffer_lock:

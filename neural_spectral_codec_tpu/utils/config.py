@@ -84,6 +84,11 @@ _KNOWN_SECTIONS = {
     "resume", "wandb", "ablation", "targets", "model", "deployment",
     "database", "loop_closing", "monitoring", "visualization", "resources",
     "quality", "benchmark", "parallel",
+    # reference-surface sections this rebuild accepts without consuming:
+    # `ros` (reference inference.yaml:89-95) and `gpu` (training.yaml) are
+    # CUDA/ROS deployment knobs with no TPU counterpart — loading a
+    # reference config verbatim must not warn about them
+    "ros", "gpu",
 }
 
 

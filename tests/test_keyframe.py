@@ -100,6 +100,21 @@ def test_selector_rate_on_synthetic():
     assert stats["compression_ratio"] >= 1.0
 
 
+def test_select_keyframes_from_kitti_convenience():
+    """Loader-level convenience wrapper (reference selector.py:363-407):
+    same keyframe set as driving a KeyframeSelector by hand."""
+    from neural_spectral_codec_tpu.keyframe import select_keyframes_from_kitti
+    loader = SyntheticLoader(n_frames=40, seed=2, n_points=512)
+    kfs = select_keyframes_from_kitti(loader, distance_threshold=0.5,
+                                      rotation_threshold=15.0)
+    sel = KeyframeSelector(distance_threshold=0.5, rotation_threshold=15.0)
+    for i in range(len(loader)):
+        d = loader[i]
+        sel.process_scan(i, d["points"], d["pose"], d["timestamp"])
+    assert [k.scan_id for k in kfs] == [k.scan_id for k in sel.keyframes]
+    assert len(kfs) >= 1
+
+
 # ---------------- graph ----------------
 
 def test_build_graph_temporal_edges():

@@ -344,6 +344,35 @@ def test_query_batch_empty_database():
     assert idx.shape == (2, 0)
 
 
+def test_query_batch_sentinel_indices(rng):
+    """Masked/empty top-k slots must surface index -1 (not a clamped but
+    plausible-looking row id) so consumers that forget the isfinite
+    filter fail loudly."""
+    from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+    h = rng.random((4, 20), dtype=np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    r = WassersteinRetriever(n_bins=20, capacity=10)
+    r.add_to_database(h)
+    idx, dist = r.query_batch(h[:2], top_k=8)   # k > database size
+    assert np.all(idx[~np.isfinite(dist)] == -1)
+    assert np.all(idx[np.isfinite(dist)] >= 0)
+    assert np.isfinite(dist).sum(axis=1).tolist() == [4, 4]
+
+
+def test_warm_query_compiles_without_inserting(rng):
+    """warm_query compiles the query executables against the live buffers
+    without touching database contents or size."""
+    from neural_spectral_codec_tpu.retrieval.retriever import WassersteinRetriever
+    r = WassersteinRetriever(n_bins=20, capacity=50)
+    r.warm_query(top_k=5)
+    assert r.database_size == 0
+    h = rng.random((3, 20), dtype=np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    r.add_to_database(h)
+    idx, dist = r.query(h[1], top_k=1)
+    assert idx[0] == 1
+
+
 def test_database_save_load_roundtrip(tmp_path, rng):
     from neural_spectral_codec_tpu.keyframe.selector import Keyframe
     from neural_spectral_codec_tpu.retrieval.two_stage import TwoStageRetrieval
