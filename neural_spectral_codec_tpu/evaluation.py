@@ -38,10 +38,22 @@ def evaluate_place_recognition(embeddings: np.ndarray, poses: np.ndarray,
                                k_values: Sequence[int] = (1, 5, 10),
                                distance_threshold: float = 5.0,
                                skip_frames: int = 30,
-                               query_chunk: int = 4096) -> Dict[str, float]:
-    """Recall@K, Precision@1, F1@1 over revisit queries, all batched on
-    device (the reference's O(n²) Python-loop validation, but it never
-    computed precision/F1 despite promising them in config)."""
+                               query_chunk: int = 4096,
+                               n_curve_points: int = 20) -> Dict[str, float]:
+    """Recall@K plus a THRESHOLDED precision/recall/F1 curve over revisit
+    queries, all batched on device.
+
+    The reference promised recall/precision/F1 in its benchmark config
+    (inference.yaml:107-121) but never implemented them. A meaningful
+    precision needs an accept decision, not just a ranking: here a query's
+    top-1 match is ACCEPTED iff its embedding distance ≤ τ, and τ is swept
+    over the observed distance quantiles —
+      precision(τ) = (# accepted ∧ geometrically correct) / (# accepted),
+      recall(τ)    = (# accepted ∧ geometrically correct) / (# queries)
+    (every query is a true revisit by construction of the protocol).
+    Reported as ``precision_recall_curve`` with the best-F1 operating
+    point. ``precision@1``/``f1@1`` (rank-1 accuracy, ≡ recall@1 by
+    construction) are kept for the config's metric-name surface."""
     import jax.numpy as jnp
     from neural_spectral_codec_tpu.training.validation import (
         find_revisit_queries)
@@ -52,7 +64,11 @@ def evaluate_place_recognition(embeddings: np.ndarray, poses: np.ndarray,
     if len(queries) == 0:
         for k in k_values:
             out[f"recall@{k}"] = 0.0
-        out.update({"precision@1": 0.0, "f1@1": 0.0})
+        out.update({"precision@1": 0.0, "f1@1": 0.0, "best_f1": 0.0,
+                    "best_f1_tau": 0.0, "precision_at_best_f1": 0.0,
+                    "recall_at_best_f1": 0.0,
+                    "precision_recall_curve": {
+                        "tau": [], "precision": [], "recall": [], "f1": []}})
         return out
 
     import functools
@@ -75,34 +91,64 @@ def evaluate_place_recognition(embeddings: np.ndarray, poses: np.ndarray,
                                   precision=jax.lax.Precision.HIGHEST))
         gap = jnp.abs(q[:, None] - jnp.arange(emb.shape[0])[None, :])
         d2 = jnp.where(gap > skip_frames, d2, jnp.inf)
-        _, topk = jax.lax.top_k(-d2, kmax)
+        negtop, topk = jax.lax.top_k(-d2, kmax)
         geo = jnp.linalg.norm(pos[q][:, None, :] - pos[topk], axis=-1)
-        return geo < distance_threshold           # (c, kmax)
+        top1 = jnp.sqrt(jnp.maximum(-negtop[:, 0], 0.0))
+        return geo < distance_threshold, top1     # (c, kmax), (c,)
 
     # chunk the query axis: the unchunked (Q, n) distance matrix (and its
     # top-k) would be tens of GB at the 100k-keyframe scale the configs
     # advertise; one fixed chunk shape keeps a single executable
     chunk = query_chunk
     qs = queries[:, 0].astype(np.int64)
-    parts = []
+    parts, dparts = [], []
     for s in range(0, len(qs), chunk):
         part = qs[s:s + chunk]
         pad = 0
         if len(part) < chunk and len(qs) > chunk:
             pad = chunk - len(part)
             part = np.concatenate([part, np.repeat(part[-1:], pad)])
-        h = np.asarray(_hit_chunk(emb, pos, jnp.asarray(part), kmax,
-                                  distance_threshold, skip_frames))
+        h, d1 = _hit_chunk(emb, pos, jnp.asarray(part), kmax,
+                           distance_threshold, skip_frames)
+        h, d1 = np.asarray(h), np.asarray(d1)
         parts.append(h[:len(h) - pad] if pad else h)
+        dparts.append(d1[:len(d1) - pad] if pad else d1)
     hit = np.concatenate(parts)                   # (Q, kmax)
+    top1_dist = np.concatenate(dparts)            # (Q,)
 
     for k in k_values:
         out[f"recall@{k}"] = float(hit[:, :k].any(axis=1).mean())
-    # top-1 precision == recall@1 under one-prediction-per-query; report
-    # both for the config's metric list
+    # rank-1 accuracy, kept under the config's metric names (≡ recall@1
+    # by construction — the thresholded curve below is the real P/R/F1)
     out["precision@1"] = float(hit[:, 0].mean())
     r, p = out.get("recall@1", 0.0), out["precision@1"]
     out["f1@1"] = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+
+    # thresholded accept: sweep τ over the observed top-1 distance
+    # quantiles (plus +inf = accept-everything, whose precision is the
+    # rank-1 accuracy and recall is recall@1)
+    hit1 = hit[:, 0]
+    taus = np.unique(np.quantile(
+        top1_dist, np.linspace(0.0, 1.0, max(n_curve_points - 1, 2))))
+    taus = np.append(taus, np.inf)
+    curve = {"tau": [], "precision": [], "recall": [], "f1": []}
+    for tau in taus:
+        acc = top1_dist <= tau
+        n_acc = int(acc.sum())
+        tp = float(np.sum(acc & hit1))
+        prec = tp / n_acc if n_acc else 1.0
+        rec = tp / len(hit1)
+        f1 = 2 * prec * rec / (prec + rec) if (prec + rec) > 0 else 0.0
+        curve["tau"].append(float(tau))
+        curve["precision"].append(prec)
+        curve["recall"].append(rec)
+        curve["f1"].append(f1)
+    best = int(np.argmax(curve["f1"]))
+    out["precision_recall_curve"] = curve
+    out["best_f1"] = curve["f1"][best]
+    out["best_f1_tau"] = curve["tau"][best]
+    out["precision_at_best_f1"] = curve["precision"][best]
+    out["recall_at_best_f1"] = curve["recall"][best]
     return out
 
 
@@ -229,6 +275,8 @@ def run_benchmark(loaders: Sequence, config: Dict,
         for k in k_values:
             agg[f"recall@{k}"] = float(np.mean(
                 [m[f"recall@{k}"] for m in results["sequences"].values()]))
+        agg["best_f1"] = float(np.mean(
+            [m["best_f1"] for m in results["sequences"].values()]))
         results["mean"] = agg
 
     if results_path:

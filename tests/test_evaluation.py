@@ -35,6 +35,35 @@ def test_place_recognition_perfect_embeddings():
     assert m["f1@1"] == 1.0
 
 
+def test_place_recognition_threshold_curve():
+    """Thresholded precision/recall/F1: perfect embeddings reach F1=1 at
+    some τ; recall is non-decreasing in τ; the accept-everything endpoint
+    matches the rank-1 accuracy."""
+    n = 80
+    poses = _poses_line(n)
+    poses[40:, 0, 3] = poses[:40, 0, 3]
+    emb = np.random.default_rng(0).random((40, 16)).astype(np.float32)
+    emb = np.concatenate([emb, emb])
+    m = evaluate_place_recognition(emb, poses, (1,), skip_frames=30,
+                                   distance_threshold=2.0)
+    c = m["precision_recall_curve"]
+    assert m["best_f1"] == 1.0
+    assert np.all(np.diff(c["recall"]) >= -1e-12)
+    assert c["precision"][-1] == m["precision@1"]
+    assert c["recall"][-1] == m["recall@1"]
+
+    # random embeddings: a strict τ accepts few, so thresholded precision
+    # is defined by the accept set, and the curve is emitted with finite
+    # entries except the accept-everything endpoint
+    emb2 = np.random.default_rng(1).random((n, 16)).astype(np.float32)
+    m2 = evaluate_place_recognition(emb2, poses, (1,), skip_frames=30,
+                                    distance_threshold=2.0)
+    c2 = m2["precision_recall_curve"]
+    assert len(c2["tau"]) >= 3
+    assert all(0.0 <= p <= 1.0 for p in c2["precision"])
+    assert m2["best_f1"] >= m2["f1@1"] - 1e-12
+
+
 def test_place_recognition_random_embeddings_low_recall():
     n = 80
     poses = _poses_line(n, spacing=20.0)
