@@ -53,10 +53,12 @@ def make_scene(rng, n_boxes=40):
     return lo.astype(np.float32), hi.astype(np.float32)
 
 
-def raycast(lo, hi, yaw, rng):
-    """Cast the full 64 x N_AZIM_FULL ray grid from the origin (sensor
-    frame rotated by ``yaw``); returns (n_rays, 4) float32 points with
-    2 cm range noise and 8% dropout."""
+def raycast(lo, hi, yaw, rng, pos=(0.0, 0.0)):
+    """Cast the full 64 x N_AZIM_FULL ray grid from sensor position
+    ``pos`` (sensor frame rotated by ``yaw``); returns (n_rays, 4)
+    float32 points with 2 cm range noise and 8% dropout."""
+    lo = lo - np.array([pos[0], pos[1], 0.0], np.float32)
+    hi = hi - np.array([pos[0], pos[1], 0.0], np.float32)
     az = (np.linspace(-np.pi, np.pi, N_AZIM_FULL, endpoint=False)[None, :]
           + yaw)
     el = ELEV[:, None]
@@ -91,6 +93,77 @@ def raycast(lo, hi, yaw, rng):
     return pts.astype(np.float32)
 
 
+def make_world_for_loop(rng, radius, n_boxes=120, extent=160.0):
+    """Urban-ish world around a circular trajectory of ``radius``: boxes
+    scattered over the area, none closer than 6 m to the path."""
+    centers = rng.uniform(-extent, extent, (n_boxes, 2))
+    dist_to_path = np.abs(np.linalg.norm(centers, axis=1) - radius)
+    centers = centers[dist_to_path > 6.0]
+    sizes = np.stack([rng.uniform(2, 20, len(centers)),
+                      rng.uniform(2, 20, len(centers)),
+                      rng.uniform(2, 12, len(centers))], axis=1)
+    lo = np.concatenate([centers - sizes[:, :2] / 2,
+                         np.zeros((len(centers), 1)) - SENSOR_Z], axis=1)
+    hi = np.concatenate([centers + sizes[:, :2] / 2,
+                         sizes[:, 2:] - SENSOR_Z], axis=1)
+    return lo.astype(np.float32), hi.astype(np.float32)
+
+
+def recall_at_strides(strides, rng, encode, w1_matrix,
+                      n_per_loop=90, radius=60.0, skip_frames=30,
+                      geo_threshold=5.0, top_ks=(1, 5, 10)):
+    """Loop-trajectory Recall@K under the stage-1 W1 metric, per stride.
+
+    Two passes around one ray-cast world; second-loop frames are true
+    revisits of first-loop frames (same positions, fresh noise/dropout
+    and heading jitter). For each stride: decimate every scan, encode,
+    rank candidates older than ``skip_frames`` by W1, score top-k hits
+    geometrically — the SAME protocol at every stride, so any recall gap
+    is attributable to the decimation alone. Also evaluates the mixed
+    deployment case (stride-decimated queries against the full-density
+    database)."""
+    lo, hi = make_world_for_loop(rng, radius)
+    n = 2 * n_per_loop
+    theta = np.linspace(0, 4 * np.pi, n, endpoint=False)
+    positions = np.stack([radius * np.cos(theta), radius * np.sin(theta),
+                          np.zeros(n)], axis=1)
+    scans = []
+    for i in range(n):
+        yaw = theta[i] + np.pi / 2 + rng.normal(0, 0.03)
+        scans.append(raycast(lo, hi, yaw, rng,
+                             pos=(positions[i, 0], positions[i, 1])))
+
+    full = N_ELEV * N_AZIM_FULL
+    gap = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
+    geo = np.linalg.norm(positions[:, None, :] - positions[None, :, :],
+                         axis=2)
+    # queries: frames with at least one sufficiently-old true revisit
+    has_rev = ((gap > skip_frames) & (geo < geo_threshold)).any(axis=1)
+    queries = np.where(has_rev)[0]
+
+    def protocol_recall(d_query, d_db):
+        dist = w1_matrix(d_query[queries], d_db)          # (Q, n)
+        dist = np.where(gap[queries] > skip_frames, dist, np.inf)
+        order = np.argsort(dist, axis=1)
+        out = {}
+        for k in top_ks:
+            hits = geo[queries[:, None], order[:, :k]] < geo_threshold
+            out[k] = float(hits.any(axis=1).mean())
+        return out
+
+    descs = {}
+    for s in strides:
+        budget = -(-full // s)
+        descs[s] = encode([p[::s] for p in scans], budget)
+
+    results = {}
+    for s in strides:
+        results[("pure", s)] = protocol_recall(descs[s], descs[s])
+        if s != 1:
+            results[("mixed", s)] = protocol_recall(descs[s], descs[1])
+    return results, len(queries)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -99,7 +172,8 @@ def main():
     from neural_spectral_codec_tpu.ops.range_image import pad_points
     from neural_spectral_codec_tpu.ops.spectral import (
         SpectralEncoderConfig, encode_points_batch)
-    from neural_spectral_codec_tpu.ops.wasserstein import wasserstein_1d
+    from neural_spectral_codec_tpu.ops.wasserstein import (
+        wasserstein_1d, wasserstein_matrix)
 
     config = SpectralEncoderConfig()
     alpha = jnp.float32(2.0)
@@ -150,6 +224,16 @@ def main():
     print(f"different places  W1: mean={np.mean(inter):.4f} "
           f"min={np.min(inter):.4f}")
 
+    # ---- retrieval-level evidence: Recall@K at stride 1 vs stride 4 ----
+    w1_matrix = lambda a, b: np.asarray(wasserstein_matrix(
+        jnp.asarray(a), jnp.asarray(b)))
+    recall, n_queries = recall_at_strides(
+        [1, 4], np.random.default_rng(7), encode, w1_matrix)
+    for key, r in sorted(recall.items()):
+        mode, s = key
+        print(f"recall[{mode} stride {s}] ({n_queries} queries): "
+              + "  ".join(f"R@{k} {v:.4f}" for k, v in r.items()))
+
     out = Path(__file__).resolve().parent.parent / "docs" / "density_defense.md"
     with open(out, "w") as f:
         f.write(
@@ -163,6 +247,8 @@ def main():
         for s, budget, max_abs, w1m, w1x in rows:
             f.write(f"| {s} | {budget} | {max_abs:.2e} | {w1m:.4f} | "
                     f"{w1x:.4f} |\n")
+        s4 = next(r for r in rows if r[0] == 4)
+        ratio = np.min(inter) / s4[4]
         f.write(
             f"\nReference scales (same encoder, full density):\n\n"
             f"- z-rotation-invariance jitter W1: mean "
@@ -171,11 +257,47 @@ def main():
             f"{np.mean(reobs_dist):.4f}, max {np.max(reobs_dist):.4f}\n"
             f"- different-place W1 (the signal): mean "
             f"{np.mean(inter):.4f}, min {np.min(inter):.4f}\n\n"
-            "**Defended bench density:** the knee is the largest stride "
-            "whose W1-to-full\nstays well below BOTH the encoder's own "
-            "rotation jitter and same-place\nre-observation distance — "
-            "decimation at that stride is invisible to retrieval\n"
-            "relative to the method's intrinsic noise floor.\n")
+            "**Criterion (descriptor level):** stride-4 decimation error "
+            "is of the SAME\nORDER as the encoder's intrinsic same-place "
+            f"noise floor (W1-to-full mean\n{s4[3]:.2f} vs rotation "
+            f"jitter {np.mean(rot_jitter):.2f} / re-observation "
+            f"{np.mean(reobs_dist):.2f} — comparable,\nnot below), and "
+            f"its worst case ({s4[4]:.2f}) sits {ratio:.1f}x below the "
+            "closest\ndifferent-place distance "
+            f"({np.min(inter):.2f}). Beyond stride 4 the error jumps\n"
+            "past the noise floor (stride 5: "
+            f"{next(r for r in rows if r[0] == 5)[3]:.2f} mean). "
+            "Descriptor distances alone\ndo not settle whether retrieval "
+            "survives — the measurement that does is below.\n\n"
+            "## Retrieval-level evidence (the claim that matters)\n\n"
+            "Loop trajectory (two passes around one ray-cast world, "
+            f"{n_queries} revisit\nqueries, frame gap > 30, 5 m ground "
+            "truth), stage-1 W1 ranking — the same\nprotocol at every "
+            "stride, so any gap is attributable to decimation alone:\n\n"
+            "| descriptors | R@1 | R@5 | R@10 |\n|---|---|---|---|\n")
+        label = {("pure", 1): "stride 1 (full density, 133,632 pts)",
+                 ("pure", 4): "stride 4 (defended density, 33,408 pts)",
+                 ("mixed", 4): "stride-4 queries vs stride-1 database"}
+        for key in [("pure", 1), ("pure", 4), ("mixed", 4)]:
+            r = recall[key]
+            f.write(f"| {label[key]} | {r[1]:.4f} | {r[5]:.4f} | "
+                    f"{r[10]:.4f} |\n")
+        eq = all(abs(recall[("pure", 1)][k] - recall[("pure", 4)][k])
+                 < 1e-9 for k in (1, 5, 10))
+        f.write(
+            "\n" + ("Recall is IDENTICAL at stride 1 and stride 4"
+                    if eq else
+                    "Recall differs between stride 1 and stride 4 — "
+                    "gap quantified above")
+            + " on this protocol; the decimation the headline benchmark "
+            "density relies on\nis invisible at the retrieval level"
+            + ("" if eq else " only up to the gap shown") + ".\n\n"
+            "**Benchmark-input note:** the throughput benchmark "
+            "(`bench.py`) times uniform\nrandom scans while this defense "
+            "uses ray-cast structured scenes; the hot path's\nsort and "
+            "roll networks are data-oblivious (comparator count is "
+            "independent of\nkey values), so the timing transfers — only "
+            "the descriptor-quality argument\nneeds structured scenes.\n")
     print(f"wrote {out}")
 
 

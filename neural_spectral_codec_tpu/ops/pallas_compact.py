@@ -159,6 +159,11 @@ def compact_pallas(val: jnp.ndarray, pixf: jnp.ndarray,
             jax.ShapeDtypeStruct((val.shape[0], n_chunks * n_out),
                                  jnp.float32),
         ],
+        # the default 16 MiB scoped-vmem budget is marginal for wide
+        # chunks (double-buffered blocks + butterfly temporaries); v5e
+        # has far more physical VMEM — raise the compiler cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(val.astype(jnp.float32), pixf.astype(jnp.float32),
       offsets.astype(jnp.float32))

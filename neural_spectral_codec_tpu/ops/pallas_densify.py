@@ -77,6 +77,8 @@ def expand_pallas(cval: jnp.ndarray, disp: jnp.ndarray, flag: jnp.ndarray,
         out_specs=pl.BlockSpec((_SCANS, n_pix), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cval.shape[0], n_pix), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cval.astype(jnp.float32), disp.astype(jnp.float32),
       flag.astype(jnp.float32))

@@ -1,0 +1,377 @@
+"""Ring-structured projection fast path — no global sort.
+
+The general projection (ops/range_image.py) handles arbitrary point order
+with a packed single-key ``lax.sort`` — which is ~2/3 of the full-density
+hot path (~230 of 334 us/scan at 133k points, docs/performance.md). Real
+spinning-LiDAR streams are not arbitrary: HDL-64E/VLP-class sensors emit
+points RING-MAJOR with azimuth monotone within each ring (KITTI .bin
+order; HeLiPR even carries an explicit ``ring`` field). For input shaped
+``(B, n_rings, per_ring, 3|4)`` satisfying the structure contract below,
+the per-pixel scatter-min (reference range_image.py:200-214) reduces to
+segmented CIRCULAR run-mins along each ring — log2(per_ring) roll+select
+stages on the VPU, zero sorts, zero scatters — followed by the same
+VMEM-resident compaction/expansion used by the general path
+(ops/pallas_compact.py / pallas_densify.py).
+
+Structure contract (verified by :func:`ring_structure_report`; violating
+inputs must use the general path — the caller decides, typically via one
+host-side check per sensor/stream):
+
+  C1. every VALID point of ring r falls in elevation row ``row_of_ring[r]``
+      (rings are fixed laser angles; with ring angles away from row
+      boundaries this holds exactly — the fast path therefore never
+      computes per-point elevation);
+  C2. within each ring the azimuth-bin sequence of valid points is
+      circularly monotone: traversed linearly it is non-decreasing except
+      for at most ``n_folds - 1`` wrap/jitter events (a clean spinning
+      sweep has exactly one wrap → the default ``n_folds=2``);
+  C3. ``row_of_ring`` is strictly increasing (sort rings by elevation on
+      the host first — a static permutation).
+
+Algorithm (all fixed-shape, jit-compatible):
+  1. spherical range + azimuth bins only (no per-point elevation — C1);
+  2. invalid points (NaN padding, range-gate failures, dropout) become
+     TRANSPARENT via a circular jump-fill of the azimuth-bin key from the
+     nearest valid point to the left (log2 P stages) — they join that
+     point's run carrying value +inf;
+  3. segmented circular run-min: m[p] = exact min over the circular run
+     starting at p (doubling with a window-uniformity carry);
+  4. run starts (circular key change; a wrap run emits ONE start carrying
+     the full circular min); each start's target column is
+     ``azbin + 360·(inclusive count of linear non-increases)`` — the
+     wrap run lands in fold 1, so targets are strictly increasing per
+     ring and the fold-min at the end restores exact scatter-min
+     semantics;
+  5. per-ring compaction → pairwise merges → butterfly expansion into the
+     (R, n_folds·360) folded image via the existing Pallas kernels (one
+     HBM read of the run arrays, one image write), fold-min, place rows.
+
+Exactness: identical output to ``project_points_batch`` for any input
+satisfying C1-C3 (tests/test_ring_path.py proves bit-equality on CPU and
+the TPU run is covered by the same parity bars as the general path).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_spectral_codec_tpu.ops.range_image import (
+    ProjectionConfig, _densify_xla)
+
+
+def _ring_keys(points: jnp.ndarray, config: ProjectionConfig):
+    """(B, R, P, 3|4) → (range, azimuth-bin-f32 with -1 at invalid).
+
+    Same gates and bin formulas as the general path's ``_spherical`` +
+    binning (range_image.py:54-97) minus the elevation computation (C1
+    makes it statically known per ring)."""
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
+    x = jnp.where(finite, x, 1.0)
+    y = jnp.where(finite, y, 0.0)
+    z = jnp.where(finite, z, 0.0)
+    x_sq = jnp.clip(x * x, 0.0, 1e10)
+    y_sq = jnp.clip(y * y, 0.0, 1e10)
+    z_sq = jnp.clip(z * z, 0.0, 1e10)
+    rng = jnp.sqrt(x_sq + y_sq + z_sq)
+    azimuth = jnp.arctan2(y, x)
+    azimuth = jnp.mod(azimuth + jnp.pi, 2.0 * jnp.pi)
+    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    azb = jnp.clip(
+        jnp.floor(azimuth / (2.0 * jnp.pi) * config.n_azimuth), 0.0,
+        config.n_azimuth - 1.0)
+    key = jnp.where(valid, azb, -1.0).astype(jnp.float32)
+    vals = jnp.where(valid, rng, jnp.inf).astype(jnp.float32)
+    return vals, key
+
+
+def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
+                     n_folds: int):
+    """Per-ring circular segment-min without sorting.
+
+    key:  (N, P) azimuth bin (f32), -1 at invalid slots.
+    vals: (N, P) range, +inf at invalid slots.
+    Returns (col_f, min_f): the folded target column (azbin + 360·fold,
+    f32, -1 at non-starts / fold-overflow) and the exact circular run min
+    at each start. All comparisons/carries in f32 (values < 2^24, exact).
+    """
+    P = key.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, key.shape, key.ndim - 1)
+
+    # 1. circular jump-fill: holes adopt the nearest valid key to the left
+    sh = 1
+    while sh < P:
+        key = jnp.where(key < 0.0, jnp.roll(key, sh, axis=-1), key)
+        sh *= 2
+
+    # 2. segmented circular run-min (forward doubling with a
+    #    window-uniformity carry)
+    m = vals
+    ok = jnp.ones(key.shape, bool)
+    sh = 1
+    while sh < P:
+        key_s = jnp.roll(key, -sh, axis=-1)
+        m_s = jnp.roll(m, -sh, axis=-1)
+        ok_s = jnp.roll(ok, -sh, axis=-1)
+        extend = ok & (key_s == key)
+        m = jnp.where(extend, jnp.minimum(m, m_s), m)
+        ok = extend & ok_s
+        sh *= 2
+
+    # 3. circular run starts; a circularly-constant ring has no key change
+    #    → force position 0 (its m[0] is the whole-ring min)
+    prev = jnp.roll(key, 1, axis=-1)
+    start = (key != prev) & (key >= 0.0)
+    none = ~jnp.any(start, axis=-1, keepdims=True)
+    start = start | (none & (col == 0) & (key >= 0.0))
+    start = start & jnp.isfinite(m)
+
+    # 4. fold index: inclusive prefix count (linear) of non-increasing
+    #    start keys; key[p-1] is the previous run's key because keys are
+    #    constant within a run
+    noninc = (start & (col > 0) & (key <= prev)).astype(jnp.float32)
+    f = noninc
+    sh = 1
+    while sh < P:
+        f = f + jnp.where(col >= sh, jnp.roll(f, sh, axis=-1), 0.0)
+        sh *= 2
+    # overflowing folds (contract violation beyond n_folds-1) are DROPPED,
+    # never allowed to corrupt the monotone routing
+    okfold = f <= float(n_folds - 1)
+    col_f = jnp.where(start & okfold, key + float(n_azim) * f, -1.0)
+    return col_f, m
+
+
+def _fold_min(img_folded: jnp.ndarray, n_folds: int,
+              n_azim: int) -> jnp.ndarray:
+    """(B, R, n_folds·A) → (B, R, A) treating 0 as empty (+inf)."""
+    b, r, _ = img_folded.shape
+    x = img_folded.reshape(b, r, n_folds, n_azim)
+    x = jnp.where(x > 0.0, x, jnp.inf)
+    x = jnp.min(x, axis=2)
+    return jnp.where(jnp.isinf(x), 0.0, x)
+
+
+def _densify_rings_vmem(col_f, run_min, R: int, width: int,
+                        interpret: bool = False):
+    """Per-ring compaction + pairwise merges + expansion, all in VMEM.
+    col_f/run_min: (B, R, Ppad) with Ppad 128-aligned; targets are
+    folded-image columns (strictly increasing per ring). Returns
+    (B, R·width) folded images (width = n_folds·n_azim per ring row)."""
+    from neural_spectral_codec_tpu.ops.pallas_compact import compact_pallas
+    from neural_spectral_codec_tpu.ops.pallas_densify import expand_pallas
+
+    b, r, ppad = col_f.shape
+    n_pix = R * width
+    # global folded-image pixel id = ring_position·width + column
+    ring_base = (jnp.arange(R, dtype=jnp.float32) * float(width))[None, :,
+                                                                  None]
+    pixf = jnp.where(col_f >= 0.0, col_f + ring_base, -1.0)
+    valz = jnp.where(col_f >= 0.0, run_min, 0.0)
+    pixf = pixf.reshape(b, r * ppad)
+    valz = valz.reshape(b, r * ppad)
+
+    counts = (col_f >= 0.0).sum(-1).astype(jnp.float32)        # (B, R)
+    offsets = jnp.cumsum(counts, axis=1) - counts
+
+    w128 = -(-width // 128) * 128
+    n_out = min(n_pix, min(ppad, w128))
+    n_out = -(-n_out // 128) * 128
+    val_c, expd_c = compact_pallas(valz, pixf, offsets, n_out,
+                                   first_level=True, interpret=interpret)
+    n_chunks = R
+    while n_chunks > 1:
+        n_chunks //= 2
+        n_next = min(-(-n_pix // 128) * 128, 2 * n_out)
+        val_c, expd_c = compact_pallas(
+            val_c, expd_c, jnp.zeros((b, n_chunks), jnp.float32), n_next,
+            first_level=False, interpret=interpret)
+        n_out = n_next
+    npix128 = -(-n_pix // 128) * 128
+    if n_out < npix128:
+        val_c = jnp.pad(val_c, ((0, 0), (0, npix128 - n_out)))
+        expd_c = jnp.pad(expd_c, ((0, 0), (0, npix128 - n_out)),
+                         constant_values=-1.0)
+    flag = (expd_c >= 0.0).astype(jnp.float32)
+    out = expand_pallas(val_c, jnp.maximum(expd_c, 0.0), flag, npix128,
+                        interpret=interpret)
+    return out[:, :n_pix]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
+                        row_of_ring: Tuple[int, ...],
+                        n_folds: int = 2) -> jnp.ndarray:
+    """(B, R, P, 3|4) ring-structured clouds → (B, n_elev, n_azim) range
+    images, bit-identical to ``project_points_batch`` on the flattened
+    points for inputs satisfying C1-C3 (module docstring).
+
+    ``row_of_ring`` must be a strictly-increasing tuple of image rows
+    (C3); rows without a ring stay empty."""
+    rows = tuple(int(v) for v in row_of_ring)
+    if list(rows) != sorted(set(rows)):
+        raise ValueError("row_of_ring must be strictly increasing (C3); "
+                         "sort rings by elevation on the host first")
+    if max(rows) >= config.n_elevation:
+        raise ValueError("row_of_ring exceeds n_elevation")
+    b, R, P = points.shape[:3]
+    if R != len(rows):
+        raise ValueError(f"{R} rings but {len(rows)} row assignments")
+
+    vals, key = _ring_keys(points, config)
+    col_f, m = _ring_run_starts(key.reshape(b * R, P),
+                                vals.reshape(b * R, P),
+                                config.n_azimuth, n_folds)
+    col_f = col_f.reshape(b, R, P)
+    m = m.reshape(b, R, P)
+
+    width = n_folds * config.n_azimuth
+    ppad = -(-P // 128) * 128
+    if ppad != P:
+        col_f = jnp.pad(col_f, ((0, 0), (0, 0), (0, ppad - P)),
+                        constant_values=-1.0)
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, ppad - P)))
+
+    use_vmem = (jax.default_backend() == "tpu" and R >= 2
+                and R & (R - 1) == 0)
+    if use_vmem:
+        folded = _densify_rings_vmem(col_f, m, R, width)
+    else:
+        # XLA fallback (CPU tests / non-power-of-two ring counts): the
+        # flattened (ring-major) start sequence has globally increasing
+        # targets, which is exactly _densify_xla's precondition
+        ring_base = (jnp.arange(R, dtype=jnp.float32)
+                     * float(width))[None, :, None]
+        pix = jnp.where(col_f >= 0.0, col_f + ring_base,
+                        float(1 << 29)).astype(jnp.int32)
+        folded = _densify_xla(
+            pix.reshape(b, R * ppad),
+            jnp.where(col_f >= 0.0, m, 0.0).reshape(b, R * ppad),
+            (col_f >= 0.0).reshape(b, R * ppad), R * width)
+
+    ring_rows = _fold_min(folded.reshape(b, R, width), n_folds,
+                          config.n_azimuth)
+
+    if rows == tuple(range(config.n_elevation)):
+        return ring_rows
+    # static row placement: image row e ← its ring (or a zero row)
+    inv = np.full(config.n_elevation, R, np.int32)
+    for i, e in enumerate(rows):
+        inv[e] = i
+    padded = jnp.concatenate(
+        [ring_rows, jnp.zeros((b, 1, config.n_azimuth), jnp.float32)],
+        axis=1)
+    return jnp.take(padded, jnp.asarray(inv), axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def encode_points_ring_batch(points: jnp.ndarray, alpha: jnp.ndarray,
+                             config, row_of_ring: Tuple[int, ...],
+                             n_folds: int = 2) -> jnp.ndarray:
+    """Ring-structured variant of ``ops.spectral.encode_points_batch``:
+    (B, R, P, 3|4) → (B, output_dim) descriptors, identical output for
+    contract-satisfying inputs, without the general path's global sort."""
+    from neural_spectral_codec_tpu.ops.range_image import (
+        interpolate_range_image)
+    from neural_spectral_codec_tpu.ops.spectral import (
+        encode_range_image_batch)
+
+    imgs = project_rings_batch(points, config.projection, row_of_ring,
+                               n_folds)
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from neural_spectral_codec_tpu.ops.pallas_spectral import (
+            encode_range_image_batch_pallas)
+        return encode_range_image_batch_pallas(imgs, alpha, config)
+    if config.interpolate_empty:
+        imgs = jax.vmap(interpolate_range_image)(imgs)
+    return encode_range_image_batch(imgs, alpha, config)
+
+
+# ---------------------------------------------------------------------------
+# contract checking + structured-scan synthesis (host side)
+# ---------------------------------------------------------------------------
+
+def ring_elevation_centers(config: ProjectionConfig,
+                           n_rings: int) -> np.ndarray:
+    """Ring elevation angles at the centers of the image's first
+    ``n_rings`` elevation bins (radians, increasing)."""
+    lo, hi = config.elevation_min, config.elevation_max
+    step = (hi - lo) / config.n_elevation
+    return lo + step * (np.arange(n_rings) + 0.5)
+
+
+def ring_structure_report(points: np.ndarray, config: ProjectionConfig,
+                          row_of_ring: Sequence[int]) -> dict:
+    """Host-side contract check for (B, R, P, 3|4) input (numpy mirror of
+    the device formulas). Returns a dict with ``ok`` plus the violation
+    counts; callers route non-conforming streams to the general path."""
+    pts = np.asarray(points)
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+    xs = np.where(finite, x, 1.0)
+    ys = np.where(finite, y, 0.0)
+    zs = np.where(finite, z, 0.0)
+    rng = np.sqrt(np.clip(xs * xs, 0, 1e10) + np.clip(ys * ys, 0, 1e10)
+                  + np.clip(zs * zs, 0, 1e10))
+    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    az = np.mod(np.arctan2(ys, xs) + np.pi, 2 * np.pi)
+    azb = np.clip(np.floor(az / (2 * np.pi) * config.n_azimuth), 0,
+                  config.n_azimuth - 1).astype(np.int64)
+    elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
+                                  + np.clip(ys * ys, 0, 1e10)))
+    span = config.elevation_max - config.elevation_min
+    eb = np.clip(np.floor((elev - config.elevation_min) / span
+                          * config.n_elevation), 0,
+                 config.n_elevation - 1).astype(np.int64)
+
+    rows = np.asarray(row_of_ring, np.int64)
+    off_row = int((valid & (eb != rows[None, :, None])).sum())
+
+    max_folds = 1
+    b, R, P = valid.shape
+    for bi in range(b):
+        for r in range(R):
+            seq = azb[bi, r][valid[bi, r]]
+            if len(seq) < 2:
+                continue
+            runs = seq[np.concatenate([[True], seq[1:] != seq[:-1]])]
+            noninc = int(np.sum(runs[1:] <= runs[:-1]))
+            max_folds = max(max_folds, 1 + noninc)
+    return {
+        "ok": off_row == 0 and np.all(np.diff(rows) > 0),
+        "off_row_points": off_row,
+        "rows_strictly_increasing": bool(np.all(np.diff(rows) > 0)),
+        "max_folds_needed": max_folds,
+    }
+
+
+def make_structured_ring_scans(batch: int, n_rings: int, per_ring: int,
+                               config: ProjectionConfig, seed: int = 0,
+                               dropout: float = 0.08) -> np.ndarray:
+    """Synthetic ring-major scans satisfying C1-C3: each ring sweeps a
+    cone at its elevation-bin center with uniformly increasing azimuth
+    from a random start angle, random ranges, NaN dropout. The timing
+    workload of a real spinning-LiDAR stream (the hot path's roll/compare
+    networks are data-oblivious), with the structure contract holding by
+    construction."""
+    rng = np.random.default_rng(seed)
+    el = ring_elevation_centers(config, n_rings)                # (R,)
+    phi0 = rng.uniform(0, 2 * np.pi, (batch, n_rings, 1))
+    az = phi0 + (np.arange(per_ring) / per_ring * 2 * np.pi)[None, None, :]
+    r = rng.uniform(2.0, 70.0, (batch, n_rings, per_ring))
+    ce, se = np.cos(el)[None, :, None], np.sin(el)[None, :, None]
+    pts = np.stack([r * ce * np.cos(az), r * ce * np.sin(az),
+                    r * se * np.ones_like(az),
+                    rng.uniform(0, 1, r.shape)], axis=-1).astype(np.float32)
+    drop = rng.random(r.shape) < dropout
+    pts[drop] = np.nan
+    return pts

