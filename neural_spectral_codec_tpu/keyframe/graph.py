@@ -431,6 +431,15 @@ class TemporalGraphManager:
         )
         return sub, mapping
 
+    def set_node_features(self, node_idx: int, desc: np.ndarray) -> None:
+        """Overwrite one node's feature row (window-local index) — used
+        by the fused serving path, which adds the keyframe with a
+        placeholder descriptor and fills in the device-computed one."""
+        g = node_idx + self._start
+        self._feat[self._row(g)] = np.asarray(desc, np.float32)
+        self.keyframes[node_idx].descriptor = np.asarray(desc, np.float32)
+        self._graph = None
+
     def update_embeddings(self, embeddings: np.ndarray):
         if len(embeddings) != len(self.keyframes):
             raise ValueError(

@@ -179,6 +179,29 @@ def _jitted_eval_apply(model: SpectralGNN):
 
 
 @functools.lru_cache(maxsize=32)
+def _jitted_fused_encode_apply(model: SpectralGNN, enc_config):
+    """Single-dispatch serving executable: descriptor extraction fused
+    with the local-GNN forward. The online hot path otherwise pays one
+    tunnel round trip for the encoder and another for the GNN (~30 ms
+    each on the tunneled harness); the descriptor only feeds the center
+    node's feature row, and both shapes are static, so one jitted
+    program covers encode → feature write → forward."""
+    from neural_spectral_codec_tpu.ops.spectral import encode_points_batch
+
+    @jax.jit
+    def apply(points, alpha, params, batch_stats, features, neighbors,
+              mask, edge_feats, center):
+        desc = encode_points_batch(points[None], alpha, enc_config)[0]
+        features = jax.lax.dynamic_update_slice(
+            features, desc[None], (center, jnp.int32(0)))
+        emb = model.apply({"params": params, "batch_stats": batch_stats},
+                          features, neighbors, mask, edge_feats,
+                          train=False)
+        return desc, emb
+    return apply
+
+
+@functools.lru_cache(maxsize=32)
 def _jitted_train_apply(model: SpectralGNN):
     @jax.jit
     def apply(params, batch_stats, features, neighbors, mask, edge_feats, rng):
@@ -262,3 +285,29 @@ class LocalUpdateGNN:
         for node in core:
             manager.keyframes[node].embedding = emb[mapping[node]]
         return sorted(core)
+
+    def encode_update_local(self, manager, center_node: int,
+                            points_padded, alpha, enc_config):
+        """Fused serving step: compute ``center_node``'s descriptor AND
+        its k-hop local refresh in ONE device dispatch (+ one batched
+        fetch). The node must have been added with a placeholder
+        descriptor; its true descriptor is produced on device, written
+        into the subgraph's center feature row inside the executable,
+        and written back into the graph manager here. Returns
+        (descriptor, refreshed node list)."""
+        sub, mapping = manager.get_local_subgraph(center_node, self.k_hops)
+        padded = self._padded(sub)
+        fn = _jitted_fused_encode_apply(self.model, enc_config)
+        desc_d, emb_d = fn(
+            jnp.asarray(points_padded), alpha, self.params,
+            self.batch_stats, jnp.asarray(padded.features),
+            jnp.asarray(padded.neighbors), jnp.asarray(padded.mask),
+            jnp.asarray(padded.edge_feats),
+            jnp.int32(mapping[center_node]))
+        desc, emb = jax.device_get((desc_d, emb_d))   # one round trip
+        manager.set_node_features(center_node, desc)
+        core = manager.get_k_hop_neighbors(
+            center_node, max(self.k_hops - self.model.n_layers, 0))
+        for node in core:
+            manager.keyframes[node].embedding = emb[mapping[node]]
+        return desc, sorted(core)

@@ -410,7 +410,10 @@ class NeuralSpectralCodecPipeline:
         self.encoder.encode_one(np.zeros((64, 4), np.float32))
 
         # local-update buckets: replay a short synthetic session on a
-        # scratch manager with the SAME neighbor-slot shapes
+        # scratch manager with the SAME neighbor-slot shapes, through the
+        # SAME executable the hot path uses (fused encode+GNN by default)
+        fused = self.use_local_updates and cfg_get(
+            self.config, "deployment.fused_encode", True)
         mgr = TemporalGraphManager(
             temporal_neighbors=self.temporal_neighbors,
             max_active_nodes=self.graph_manager.max_active_nodes)
@@ -418,17 +421,49 @@ class NeuralSpectralCodecPipeline:
                                k_hops=self.local_update_hops)
         dim = self.encoder_config.output_dim
         desc = np.full(dim, 1.0 / dim, np.float32)
+        dummy_pts = pad_points(np.zeros((0, 4), np.float32),
+                               self.encoder.max_points)
+
+        def _refresh(node):
+            if fused:
+                local.encode_update_local(mgr, node, dummy_pts,
+                                          self.encoder.alpha,
+                                          self.encoder_config)
+            else:
+                local.update_embeddings_local(mgr, node)
+
         node = 0
         for i in range(18):
             kf = Keyframe(keyframe_id=i, scan_id=i, timestamp=float(i),
                           pose=np.eye(4, dtype=np.float32), points=None,
                           descriptor=desc.copy())
             node = mgr.add_keyframe(kf)
-            local.update_embeddings_local(mgr, node)
+            _refresh(node)
         # loop edges widen the k-hop subgraph into the next bucket
         mgr.add_loop_closure_edge(17, 0)
         mgr.add_loop_closure_edge(17, 8)
-        local.update_embeddings_local(mgr, node)
+        _refresh(node)
+        # a live session whose loop edges inflate the k-hop subgraph past
+        # the replayed sizes would jit mid-stream — pre-compile ONE bucket
+        # beyond the largest replayed one by forcing a padded forward at
+        # 2x the last subgraph's bucket
+        sub, mapping = mgr.get_local_subgraph(node, self.local_update_hops)
+        from neural_spectral_codec_tpu.keyframe.graph import pad_graph
+        n = max(sub.n_nodes, 8)
+        bucket_up = 1 << ((n - 1).bit_length() + 1)
+        padded = pad_graph(sub, bucket_up)
+        if fused:
+            from neural_spectral_codec_tpu.models.gnn import (
+                _jitted_fused_encode_apply)
+            import jax.numpy as jnp
+            _jitted_fused_encode_apply(self.model, self.encoder_config)(
+                jnp.asarray(dummy_pts), self.encoder.alpha, self.params,
+                self.batch_stats, jnp.asarray(padded.features),
+                jnp.asarray(padded.neighbors), jnp.asarray(padded.mask),
+                jnp.asarray(padded.edge_feats),
+                jnp.int32(mapping[node]))
+        else:
+            gnn_forward(self.model, self.params, self.batch_stats, padded)
 
         # stage-1 query executable: compiled against the LIVE database
         # buffers with the effective size forced to 1 — no scratch
@@ -545,6 +580,13 @@ class NeuralSpectralCodecPipeline:
                     remaining.append((query_id, fut))
             pending[:] = remaining
 
+        # fused serving: encode + local-GNN refresh in ONE device
+        # dispatch per keyframe (the split path pays a tunnel round trip
+        # for each); only meaningful with local updates enabled
+        fused = self.use_local_updates and cfg_get(
+            self.config, "deployment.fused_encode", True)
+        placeholder = np.zeros(self.encoder_config.output_dim, np.float32)
+
         for scan_id in range(len(loader)):
             frame = loader[scan_id]
             with self.profiler.profile("select"):
@@ -553,21 +595,32 @@ class NeuralSpectralCodecPipeline:
                     frame["timestamp"])
             if not selected:
                 continue
-            with self.profiler.profile("encode"):
-                kf.descriptor = self.encoder.encode_one(kf.points)
-            with self.profiler.profile("graph_update"):
-                node = self.graph_manager.add_keyframe(kf)
-                refreshed_nodes = []
-                if self.use_local_updates:
-                    refreshed_nodes = local_gnn.update_embeddings_local(
-                        self.graph_manager, node) or []
-                else:
-                    graph = self.graph_manager.get_graph()
-                    emb = np.asarray(gnn_forward(
-                        self.model, self.params, self.batch_stats, graph))
-                    self.graph_manager.update_embeddings(emb)
-                    refreshed_nodes = list(range(len(
-                        self.graph_manager.keyframes)))
+            if fused:
+                with self.profiler.profile("encode_graph_update"):
+                    kf.descriptor = placeholder
+                    node = self.graph_manager.add_keyframe(kf)
+                    desc, refreshed_nodes = local_gnn.encode_update_local(
+                        self.graph_manager, node,
+                        pad_points(kf.points, self.encoder.max_points),
+                        self.encoder.alpha, self.encoder_config)
+                    kf.descriptor = desc
+            else:
+                with self.profiler.profile("encode"):
+                    kf.descriptor = self.encoder.encode_one(kf.points)
+                with self.profiler.profile("graph_update"):
+                    node = self.graph_manager.add_keyframe(kf)
+                    refreshed_nodes = []
+                    if self.use_local_updates:
+                        refreshed_nodes = local_gnn.update_embeddings_local(
+                            self.graph_manager, node) or []
+                    else:
+                        graph = self.graph_manager.get_graph()
+                        emb = np.asarray(gnn_forward(
+                            self.model, self.params, self.batch_stats,
+                            graph))
+                        self.graph_manager.update_embeddings(emb)
+                        refreshed_nodes = list(range(len(
+                            self.graph_manager.keyframes)))
             with self.profiler.profile("retrieval_add"):
                 self.retrieval.add_keyframe(kf)
                 if self.use_embeddings_for_retrieval and refreshed_nodes:
@@ -613,6 +666,7 @@ class NeuralSpectralCodecPipeline:
                     " | ".join(
                         f"{k} {1e3 * tot[k] / max(cnt[k], 1):.2f} ms/call"
                         for k in ("select", "encode", "graph_update",
+                                  "encode_graph_update",
                                   "loop_closing", "loop_closing_submit")
                         if k in tot),
                     self.retrieval.retriever.database_size)

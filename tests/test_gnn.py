@@ -181,3 +181,65 @@ def test_local_update_matches_full_forward():
     center = 15
     emb = np.asarray(local.forward_local(mgr, center))
     np.testing.assert_allclose(emb[0], full[center], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_encode_update_matches_split_path():
+    """The single-dispatch serving step (descriptor + local GNN refresh
+    in one executable) must produce exactly the split path's descriptor,
+    graph features, and refreshed embeddings."""
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    from neural_spectral_codec_tpu.ops.spectral import (
+        SpectralEncoderConfig, encode_points_batch)
+    import jax.numpy as jnp
+
+    enc = SpectralEncoderConfig(use_pallas=False)
+    dim = enc.output_dim
+    model = SpectralGNN(input_dim=dim, hidden_dim=8, output_dim=dim,
+                        n_layers=3, edge_dim=2)
+    params, bs = init_gnn(model, jax.random.key(0))
+    rng = np.random.default_rng(1)
+    poses = loop_trajectory(12)
+
+    def scan(i):
+        n = 600
+        az = rng.uniform(-np.pi, np.pi, n)
+        el = rng.uniform(np.deg2rad(-24.0), np.deg2rad(1.0), n)
+        r = rng.uniform(2.0, 60.0, n)
+        return np.stack([r*np.cos(el)*np.cos(az), r*np.cos(el)*np.sin(az),
+                         r*np.sin(el), np.zeros(n)], 1).astype(np.float32)
+
+    scans = [scan(i) for i in range(12)]
+    max_pts = 1024
+    alpha = jnp.float32(2.0)
+
+    # split path
+    mgr_a = TemporalGraphManager(max_active_nodes=100, feature_dim=dim)
+    local_a = LocalUpdateGNN(model, params, bs, k_hops=3)
+    for i in range(12):
+        d = np.asarray(encode_points_batch(
+            jnp.asarray(pad_points(scans[i], max_pts))[None], alpha,
+            enc))[0]
+        node = mgr_a.add_keyframe(Keyframe(i, i, scans[i], poses[i],
+                                           i * 1.0, descriptor=d))
+        local_a.update_embeddings_local(mgr_a, node)
+
+    # fused path
+    mgr_b = TemporalGraphManager(max_active_nodes=100, feature_dim=dim)
+    local_b = LocalUpdateGNN(model, params, bs, k_hops=3)
+    placeholder = np.zeros(dim, np.float32)
+    for i in range(12):
+        node = mgr_b.add_keyframe(Keyframe(i, i, scans[i], poses[i],
+                                           i * 1.0,
+                                           descriptor=placeholder.copy()))
+        desc, refreshed = local_b.encode_update_local(
+            mgr_b, node, pad_points(scans[i], max_pts), alpha, enc)
+        assert refreshed  # at least the center node
+
+    ga, gb = mgr_a.get_graph(), mgr_b.get_graph()
+    np.testing.assert_allclose(gb.features, ga.features, rtol=0, atol=0)
+    for a, b in zip(mgr_a.keyframes, mgr_b.keyframes):
+        np.testing.assert_allclose(b.descriptor, a.descriptor, 0, 0)
+        assert (a.embedding is None) == (b.embedding is None)
+        if a.embedding is not None:
+            np.testing.assert_allclose(b.embedding, a.embedding,
+                                       rtol=1e-5, atol=1e-6)
