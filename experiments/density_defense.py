@@ -282,22 +282,32 @@ def main():
             r = recall[key]
             f.write(f"| {label[key]} | {r[1]:.4f} | {r[5]:.4f} | "
                     f"{r[10]:.4f} |\n")
-        eq = all(abs(recall[("pure", 1)][k] - recall[("pure", 4)][k])
-                 < 1e-9 for k in (1, 5, 10))
+        r1, r4, rm = (recall[("pure", 1)], recall[("pure", 4)],
+                      recall[("mixed", 4)])
         f.write(
-            "\n" + ("Recall is IDENTICAL at stride 1 and stride 4"
-                    if eq else
-                    "Recall differs between stride 1 and stride 4 — "
-                    "gap quantified above")
-            + " on this protocol; the decimation the headline benchmark "
-            "density relies on\nis invisible at the retrieval level"
-            + ("" if eq else " only up to the gap shown") + ".\n\n"
-            "**Benchmark-input note:** the throughput benchmark "
-            "(`bench.py`) times uniform\nrandom scans while this defense "
-            "uses ray-cast structured scenes; the hot path's\nsort and "
-            "roll networks are data-oblivious (comparator count is "
-            "independent of\nkey values), so the timing transfers — only "
-            "the descriptor-quality argument\nneeds structured scenes.\n")
+            "\n**Conclusion (round 3): the decimation is NOT free.** "
+            "Despite the\ndescriptor-level distances sitting at the "
+            f"noise floor, stride-4\ndecimation costs Recall@1 "
+            f"{r1[1]:.3f} → {r4[1]:.3f} on this protocol (and "
+            f"{rm[1]:.3f} in\nthe mixed deployment case of decimated "
+            "queries against a full-density\ndatabase). "
+            "Descriptor-distance arguments understated the retrieval\n"
+            "impact — measured, acknowledged, and acted on: **the "
+            "headline benchmark\nmoved to FULL density** (`bench.py`), "
+            "where the ring-structured fast\npath (`ops/ring_path.py`) "
+            "runs with zero decimation — see docs/performance.md\nfor "
+            "the current number. The stride tables above remain as "
+            "guidance for\nusers who deliberately trade recall for "
+            "point budget, with the recall\ncost now quantified instead "
+            "of assumed away.\n\n"
+            "**Benchmark-input note:** `bench.py` times synthetic "
+            "ring-major scans\nsatisfying the ring-path structure "
+            "contract (verified at bench startup),\nwhile this defense "
+            "uses ray-cast structured scenes; the hot path's\n"
+            "roll/compare networks are data-oblivious (operation count "
+            "independent of\nkey values), so the timing transfers — "
+            "only the descriptor-quality\nargument needs ray-cast "
+            "scenes.\n")
     print(f"wrote {out}")
 
 

@@ -136,6 +136,35 @@ def test_ring_path_fold_overflow_drops_not_corrupts():
     np.testing.assert_array_equal(row_i[mask], row_g[mask])
 
 
+def test_pallas_ring_kernel_matches_xla_chain():
+    """Interpret-mode parity: the VMEM ring kernel reproduces the XLA
+    stage chain (fill + run-min + starts + folds) exactly, including
+    padding transparency."""
+    from neural_spectral_codec_tpu.ops.pallas_ring import (
+        ring_run_starts_pallas)
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        _ring_keys, _ring_run_starts)
+
+    pts = make_structured_ring_scans(2, 16, 200, CFG, seed=11,
+                                     dropout=0.2)
+    import jax.numpy as jnp
+    vals, key = _ring_keys(jnp.asarray(pts), CFG)
+    ppad = 256
+    key = jnp.pad(key, ((0, 0), (0, 0), (0, ppad - 200)),
+                  constant_values=-1.0)
+    vals = jnp.pad(vals, ((0, 0), (0, 0), (0, ppad - 200)),
+                   constant_values=jnp.inf)
+    k2 = key.reshape(32, ppad)
+    v2 = vals.reshape(32, ppad)
+    colf_x, m_x = _ring_run_starts(k2, v2, CFG.n_azimuth, 2)
+    colf_p, m_p = ring_run_starts_pallas(k2, v2, CFG.n_azimuth, 2,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(colf_p), np.asarray(colf_x))
+    sel = np.asarray(colf_x) >= 0
+    np.testing.assert_array_equal(np.asarray(m_p)[sel],
+                                  np.asarray(m_x)[sel])
+
+
 def test_checker_flags_off_row_points():
     pts = make_structured_ring_scans(1, 64, 128, CFG, seed=8)
     # move one ring's points to a different elevation than its row claims
