@@ -17,6 +17,14 @@ from neural_spectral_codec_tpu.ops.spectral import (  # noqa: F401
     encode_points,
     encode_points_batch,
 )
+from neural_spectral_codec_tpu.ops.ring_path import (  # noqa: F401
+    encode_points_ring_batch,
+    encode_structured,
+    infer_row_of_ring,
+    points_to_rings,
+    project_rings_batch,
+    ring_structure_report,
+)
 from neural_spectral_codec_tpu.ops.quantization import (  # noqa: F401
     HistogramQuantizer,
     quantize,

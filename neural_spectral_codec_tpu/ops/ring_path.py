@@ -55,7 +55,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -371,6 +371,103 @@ def ring_structure_report(points: np.ndarray, config: ProjectionConfig,
         "rows_strictly_increasing": bool(np.all(np.diff(rows) > 0)),
         "max_folds_needed": max_folds,
     }
+
+
+def points_to_rings(points: np.ndarray, ring_ids: np.ndarray,
+                    n_rings: Optional[int] = None,
+                    per_ring: Optional[int] = None) -> np.ndarray:
+    """Bucket a flat (N, 3|4) cloud into ring-major (R, P, 4) layout,
+    preserving per-ring sensor order (spinning sensors emit each ring in
+    azimuth order — HeLiPR records carry the ``ring`` field directly,
+    reference helipr_loader.py:133-140). Rings shorter than P are padded
+    with NaN (transparent to the ring path)."""
+    pts = np.asarray(points, np.float32)
+    if pts.shape[1] == 3:
+        pts = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+    rid = np.asarray(ring_ids).astype(np.int64)
+    R = int(n_rings if n_rings is not None else rid.max() + 1)
+    counts = np.bincount(rid, minlength=R)
+    P = int(per_ring if per_ring is not None else counts.max())
+    out = np.full((R, P, 4), np.nan, np.float32)
+    # stable per-ring order == original sensor order
+    order = np.argsort(rid, kind="stable")
+    starts = np.zeros(R + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    for r in range(R):
+        seg = order[starts[r]:starts[r + 1]][:P]
+        out[r, :len(seg)] = pts[seg]
+    return out
+
+
+def infer_row_of_ring(rings: np.ndarray,
+                      config: ProjectionConfig) -> np.ndarray:
+    """Per-ring dominant elevation row (mode over valid points) — the
+    ``row_of_ring`` assignment for sensors whose ring angles are not
+    known a priori. Pair with :func:`ring_structure_report` to verify
+    contract C1 holds exactly before trusting it."""
+    x, y, z = rings[..., 0], rings[..., 1], rings[..., 2]
+    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+    xs = np.where(finite, x, 1.0)
+    ys = np.where(finite, y, 0.0)
+    zs = np.where(finite, z, 0.0)
+    rng = np.sqrt(np.clip(xs * xs, 0, 1e10) + np.clip(ys * ys, 0, 1e10)
+                  + np.clip(zs * zs, 0, 1e10))
+    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
+                                  + np.clip(ys * ys, 0, 1e10)))
+    span = config.elevation_max - config.elevation_min
+    eb = np.clip(np.floor((elev - config.elevation_min) / span
+                          * config.n_elevation), 0,
+                 config.n_elevation - 1).astype(np.int64)
+    rows = np.zeros(rings.shape[0], np.int64)
+    for r in range(rings.shape[0]):
+        v = eb[r][valid[r]]
+        rows[r] = np.bincount(v, minlength=config.n_elevation).argmax() \
+            if len(v) else -1
+    return rows
+
+
+def encode_structured(points: np.ndarray, ring_ids: np.ndarray, alpha,
+                      config, per_ring: Optional[int] = None) -> np.ndarray:
+    """Host convenience: encode ONE flat cloud through the ring fast
+    path when its ring structure satisfies the contract, falling back to
+    the general sorted path otherwise. Always exact — the fallback (and
+    the contract checks) guarantee output equals
+    ``ops.spectral.encode_points_batch`` on the flat cloud."""
+    import jax.numpy as jnp
+
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    from neural_spectral_codec_tpu.ops.spectral import encode_points_batch
+
+    proj = config.projection
+    rings = points_to_rings(points, ring_ids, per_ring=per_ring)
+    rows = infer_row_of_ring(rings, proj)
+    keep = rows >= 0
+    rings, rows = rings[keep], rows[keep]
+    order = np.argsort(rows, kind="stable")
+    rings, rows = rings[order], rows[order]
+    ok = len(rows) > 0 and np.all(np.diff(rows) > 0)
+    if ok:
+        rep = ring_structure_report(rings[None], proj, rows)
+        ok = rep["ok"] and rep["max_folds_needed"] <= 2
+        # dropping overflow points in points_to_rings would silently
+        # change the image — only the ring path may skip the check when
+        # every point was bucketed
+        ok = ok and rings.shape[0] * rings.shape[1] >= len(points)
+        counts = np.bincount(np.asarray(ring_ids).astype(np.int64))
+        ok = ok and counts.max() <= rings.shape[1]
+    if ok:
+        pp = -(-rings.shape[1] // 128) * 128
+        if pp != rings.shape[1]:
+            rings = np.pad(rings, ((0, 0), (0, pp - rings.shape[1]),
+                                   (0, 0)), constant_values=np.nan)
+        return np.asarray(encode_points_ring_batch(
+            jnp.asarray(rings[None]), jnp.float32(alpha), config,
+            tuple(int(r) for r in rows)))[0]
+    return np.asarray(encode_points_batch(
+        jnp.asarray(pad_points(np.asarray(points), 1 << int(np.ceil(
+            np.log2(max(len(points), 64)))))[None]),
+        jnp.float32(alpha), config))[0]
 
 
 def make_structured_ring_scans(batch: int, n_rings: int, per_ring: int,

@@ -165,6 +165,48 @@ def test_pallas_ring_kernel_matches_xla_chain():
                                   np.asarray(m_x)[sel])
 
 
+def test_encode_structured_from_flat_cloud_with_ring_ids():
+    """HeLiPR-style input: flat cloud + per-point ring ids, rings
+    interleaved in firing order. encode_structured must reconstruct the
+    ring layout and match the general path exactly."""
+    from neural_spectral_codec_tpu.ops.ring_path import encode_structured
+    enc = SpectralEncoderConfig(use_pallas=False)
+    R, P = 16, 256
+    rings = make_structured_ring_scans(1, R, P, enc.projection, seed=20,
+                                       dropout=0.0)[0]     # (R, P, 4)
+    # interleave: sensor fires ring 0..15 at each azimuth step
+    flat = rings.transpose(1, 0, 2).reshape(-1, 4)
+    ring_ids = np.tile(np.arange(R), P)
+    d = encode_structured(flat, ring_ids, 2.0, enc)
+    d_gen = np.asarray(encode_points_batch(
+        jnp.asarray(pad_like(flat))[None], jnp.float32(2.0), enc))[0]
+    np.testing.assert_array_equal(d, d_gen)
+
+
+def pad_like(flat):
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    n = 1 << int(np.ceil(np.log2(max(len(flat), 64))))
+    return pad_points(flat, n)
+
+
+def test_encode_structured_falls_back_on_bad_structure():
+    """Shuffled point order breaks azimuth monotonicity -> must fall
+    back to the general path, still exact."""
+    from neural_spectral_codec_tpu.ops.ring_path import encode_structured
+    enc = SpectralEncoderConfig(use_pallas=False)
+    rings = make_structured_ring_scans(1, 8, 128, enc.projection,
+                                       seed=21, dropout=0.0)[0]
+    flat = rings.reshape(-1, 4)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(flat))
+    flat = flat[perm]
+    ring_ids = np.repeat(np.arange(8), 128)[perm]
+    d = encode_structured(flat, ring_ids, 2.0, enc)
+    d_gen = np.asarray(encode_points_batch(
+        jnp.asarray(pad_like(flat))[None], jnp.float32(2.0), enc))[0]
+    np.testing.assert_array_equal(d, d_gen)
+
+
 def test_checker_flags_off_row_points():
     pts = make_structured_ring_scans(1, 64, 128, CFG, seed=8)
     # move one ring's points to a different elevation than its row claims
