@@ -49,6 +49,9 @@ def main(argv=None):
                    help="no-degradation safety run: raw descriptors are "
                         "already strong; the trained GNN must not lose "
                         "recall (VERDICT r1 weak #6)")
+    p.add_argument("--normalize", action="store_true",
+                   help="train/evaluate with L2-normalized embeddings "
+                        "(training.normalize_embeddings)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -63,7 +66,8 @@ def main(argv=None):
     cfg["keyframe"].update({"distance_threshold": 3.0})
     cfg["training"].update({"n_epochs": args.epochs,
                             "triplets_per_step": 1024,
-                            "patience": args.epochs})
+                            "patience": args.epochs,
+                            "normalize_embeddings": args.normalize})
     cfg["system"]["checkpoint_dir"] = (args.checkpoint_dir
                                        or tempfile.mkdtemp())
 

@@ -37,3 +37,26 @@ def make_sharded_encoder(config: SpectralEncoderConfig,
         return encode_points_batch(points, alpha, config)
 
     return encode
+
+
+def make_sharded_ring_encoder(config: SpectralEncoderConfig, mesh: Mesh,
+                              row_of_ring) -> Callable:
+    """Batch-sharded variant of the ring fast path
+    (ops/ring_path.encode_points_ring_batch): ``fn(points (B,R,P,3|4)
+    sharded over data, alpha)``. Same zero-collective structure as
+    :func:`make_sharded_encoder` — each chip encodes its slab of
+    ring-structured scans."""
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        encode_points_ring_batch)
+    rows = tuple(int(v) for v in row_of_ring)
+    batch_sh = NamedSharding(mesh, P("data", None, None, None))
+    out_sh = NamedSharding(mesh, P("data", None))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit,
+                       in_shardings=(batch_sh, repl),
+                       out_shardings=out_sh)
+    def encode(points, alpha):
+        return encode_points_ring_batch(points, alpha, config, rows)
+
+    return encode

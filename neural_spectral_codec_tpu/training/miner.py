@@ -33,16 +33,18 @@ def _mine_kernel_chunked(positions, cdfs, rng_key, params, strategy, chunk=2048)
     outs = []
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
+        # start rides as a traced scalar: a static start would compile a
+        # fresh executable per chunk (~50 heavy compiles at 100k nodes)
         pos_i, neg_i, val = _mine_chunk(
             jnp.asarray(positions), jnp.asarray(cdfs),
             jax.random.fold_in(rng_key, s), jnp.asarray(params),
-            s, e - s, strategy)
+            jnp.int32(s), e - s, strategy)
         outs.append((np.asarray(pos_i), np.asarray(neg_i), np.asarray(val)))
     return tuple(np.concatenate([o[i] for o in outs]) for i in range(3))
 
 
-@functools.partial(jax.jit, static_argnames=("start", "count", "strategy"))
-def _mine_chunk(positions, cdfs, rng_key, params, start: int, count: int,
+@functools.partial(jax.jit, static_argnames=("count", "strategy"))
+def _mine_chunk(positions, cdfs, rng_key, params, start, count: int,
                 strategy: str):
     n = positions.shape[0]
     a = jax.lax.dynamic_slice_in_dim(positions, start, count)

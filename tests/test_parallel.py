@@ -54,6 +54,25 @@ def test_sharded_encoder_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_ring_encoder_matches_single_device():
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        encode_points_ring_batch, make_structured_ring_scans)
+    from neural_spectral_codec_tpu.parallel.encode import (
+        make_sharded_ring_encoder)
+    cfg = SpectralEncoderConfig(n_elevation=16, n_azimuth=90, n_bins=20)
+    rows = tuple(range(16))
+    pts = make_structured_ring_scans(8, 16, 128, cfg.projection, seed=3)
+    mesh = create_mesh(8)
+    enc = make_sharded_ring_encoder(cfg, mesh, rows)
+    alpha = jnp.float32(2.0)
+    got = np.asarray(enc(jnp.asarray(pts), alpha))
+    want = np.asarray(encode_points_ring_batch(jnp.asarray(pts), alpha,
+                                               cfg, rows))
+    # fp reduction-order noise only (the partitioner re-tiles the
+    # spectral matmuls); observed ~1e-9
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.parametrize("shard_nodes", [False, True])
 def test_sharded_grads_match_single_device(rng, shard_nodes):
     """Gradients under SPMD sharding must equal the single-device ones
