@@ -117,14 +117,20 @@ def main(argv=None):
     t_graph = time.perf_counter() - t0
     print(f"graph build ({n} nodes): {t_graph:.2f} s")
 
+    cache = Path(f"/tmp/scale_{n}_triplets.npy")
     miner = create_triplet_miner(positive_distance_max=5.0,
                                  negative_distance_min=10.0,
                                  negative_distance_max=100.0)
-    t0 = time.perf_counter()
-    triplets = miner.mine_triplets(desc, poses)
-    t_mine = time.perf_counter() - t0
-    print(f"mining: {len(triplets)} triplets over all {n} anchors "
-          f"in {t_mine:.2f} s")
+    if cache.exists():
+        triplets = np.load(cache)
+        print(f"mining: {len(triplets)} triplets loaded from {cache}")
+    else:
+        t0 = time.perf_counter()
+        triplets = miner.mine_triplets(desc, poses)
+        t_mine = time.perf_counter() - t0
+        print(f"mining: {len(triplets)} triplets over all {n} anchors "
+              f"in {t_mine:.2f} s")
+        np.save(cache, triplets)
 
     model = SpectralGNN(input_dim=800, hidden_dim=256, output_dim=800)
     trainer = GNNTrainer(model=model, checkpoint_dir="/tmp/scale_ckpt",
@@ -149,18 +155,21 @@ def main(argv=None):
           f"{t_epoch2:.1f} s = {1e3*t_epoch2/n_steps:.1f} ms/step, "
           f"avg loss {avg_loss:.4f}")
 
+    from neural_spectral_codec_tpu.evaluation import (
+        evaluate_place_recognition)
     emb = trainer.embed(g)
     t0 = time.perf_counter()
-    recalls = {k: recall_loop_closure(np.asarray(emb), poses, k,
-                                      distance_threshold=5.0,
-                                      skip_frames=30)
-               for k in (1, 5, 10)}
+    m = evaluate_place_recognition(np.asarray(emb), poses, (1, 5, 10),
+                                   distance_threshold=5.0, skip_frames=30)
     t_val = time.perf_counter() - t0
     print("validation recall (GNN embeddings): "
-          + "  ".join(f"R@{k} {r:.4f}" for k, (r, nq) in recalls.items())
-          + f"  ({recalls[1][1]} queries, {t_val:.1f} s)")
-    raw_r1, nq = recall_loop_closure(desc, poses, 1, 5.0, 30)
-    print(f"raw-descriptor R@1 for reference: {raw_r1:.4f}")
+          + "  ".join(f"R@{k} {m[f'recall@{k}']:.4f}" for k in (1, 5, 10))
+          + f"  ({m['n_queries']} queries, {t_val:.1f} s, one pass "
+          "over all revisit queries)")
+    m_raw = evaluate_place_recognition(desc, poses, (1,),
+                                       distance_threshold=5.0,
+                                       skip_frames=30)
+    print(f"raw-descriptor R@1 for reference: {m_raw['recall@1']:.4f}")
 
     dev = jax.devices()[0]
     stats = getattr(dev, "memory_stats", lambda: None)()

@@ -58,11 +58,39 @@ def _mine_chunk(positions, cdfs, rng_key, params, start, count: int,
                 & (gap >= params[4]) & not_self)
     logits = jnp.where(pos_mask, 0.0, -jnp.inf)
     pos_idx = jax.random.categorical(rng_key, logits, axis=1)
+    if strategy == "hard":
+        # tiled running-min over database tiles: the one-shot
+        # (count, n, n_bins) broadcast reduce tiles poorly in XLA at
+        # 100k nodes (~25 s/chunk measured); streaming 4096-row tiles
+        # with a fori_loop carry is ~20x faster and O(count·tile) memory
+        TILE = 4096
+        npad = -(-n // TILE) * TILE
+        cdfs_p = jnp.pad(cdfs, ((0, npad - n), (0, 0)))
+        negm_p = jnp.pad(neg_mask, ((0, 0), (0, npad - n)))
+
+        def body(t, carry):
+            best, best_i = carry
+            tile = jax.lax.dynamic_slice_in_dim(cdfs_p, t * TILE, TILE)
+            mt = jax.lax.dynamic_slice_in_dim(negm_p, t * TILE, TILE,
+                                              axis=1)
+            w1t = jnp.sum(jnp.abs(acdf[:, None, :] - tile[None, :, :]),
+                          axis=-1)
+            w1t = jnp.where(mt, w1t, jnp.inf)
+            tmin = jnp.min(w1t, axis=1)
+            targ = t * TILE + jnp.argmin(w1t, axis=1)
+            upd = tmin < best
+            return (jnp.where(upd, tmin, best),
+                    jnp.where(upd, targ, best_i))
+
+        best0 = jnp.full((count,), jnp.inf, jnp.float32)
+        _, neg_idx = jax.lax.fori_loop(
+            0, npad // TILE, body,
+            (best0, jnp.zeros((count,), jnp.int64)))
+        valid = jnp.any(pos_mask, axis=1) & jnp.any(neg_mask, axis=1)
+        return pos_idx, neg_idx, valid
     w1 = jnp.sum(jnp.abs(acdf[:, None, :] - cdfs[None, :, :]), axis=-1)
     masked = jnp.where(neg_mask, w1, jnp.inf)
-    if strategy == "hard":
-        neg_idx = jnp.argmin(masked, axis=1)
-    elif strategy == "semi-hard":
+    if strategy == "semi-hard":
         order = jnp.argsort(masked, axis=1)
         cnt = jnp.sum(neg_mask, axis=1)
         neg_idx = jnp.take_along_axis(
