@@ -68,6 +68,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.compare_sharded:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

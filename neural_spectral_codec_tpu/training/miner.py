@@ -77,7 +77,7 @@ def _mine_chunk(positions, cdfs, rng_key, params, start, count: int,
                           axis=-1)
             w1t = jnp.where(mt, w1t, jnp.inf)
             tmin = jnp.min(w1t, axis=1)
-            targ = t * TILE + jnp.argmin(w1t, axis=1)
+            targ = (t * TILE + jnp.argmin(w1t, axis=1)).astype(jnp.int32)
             upd = tmin < best
             return (jnp.where(upd, tmin, best),
                     jnp.where(upd, targ, best_i))
@@ -85,7 +85,7 @@ def _mine_chunk(positions, cdfs, rng_key, params, start, count: int,
         best0 = jnp.full((count,), jnp.inf, jnp.float32)
         _, neg_idx = jax.lax.fori_loop(
             0, npad // TILE, body,
-            (best0, jnp.zeros((count,), jnp.int64)))
+            (best0, jnp.zeros((count,), jnp.int32)))
         valid = jnp.any(pos_mask, axis=1) & jnp.any(neg_mask, axis=1)
         return pos_idx, neg_idx, valid
     w1 = jnp.sum(jnp.abs(acdf[:, None, :] - cdfs[None, :, :]), axis=-1)

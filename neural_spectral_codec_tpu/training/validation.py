@@ -21,36 +21,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, static_argnames=("count", "skip_frames"))
+def _revisit_chunk(p, start, count: int, thr2, skip_frames: int):
+    """Device kernel for one row chunk of the revisit scan. The direct
+    squared difference (no dot-product identity) is cancellation-free,
+    so f32 is exact to ~relative eps even on km-scale trajectories."""
+    n = p.shape[0]
+    rows = jax.lax.dynamic_slice_in_dim(p, start, count)
+    d2 = jnp.sum((rows[:, None, :] - p[None, :, :]) ** 2, axis=-1)
+    band = (jnp.arange(n)[None, :]
+            - (start + jnp.arange(count))[:, None]) >= skip_frames
+    hit = (d2 < thr2) & band
+    return jnp.any(hit, axis=1), jnp.argmax(hit, axis=1)
+
+
 def find_revisit_queries(positions: np.ndarray, distance_threshold: float = 5.0,
                          skip_frames: int = 30,
                          row_chunk: int = 2048) -> np.ndarray:
     """(Q, 2) array of (query_idx j, revisited_idx i) — vectorized version
     of trainer.py:344-351's first-revisit scan.
 
-    Row-chunked with the dot-product distance identity so peak memory is
-    O(row_chunk · n) instead of the (n, n, 3) broadcast — a 100k-keyframe
-    validation would otherwise need hundreds of GB of host RAM."""
+    Runs ON DEVICE in fixed row chunks (peak memory O(row_chunk · n));
+    the former host-numpy float64 version took minutes at 100k keyframes
+    on this harness's single host core, the device chunks take ~ms."""
     n = len(positions)
-    # float64: the dot-product identity cancels |p|²-magnitude terms, so
-    # f32 would lose ~|p|²·eps of the small squared distance (meters of
-    # error on km-scale trajectories); f64 keeps it exact to ~1e-9
-    p = np.asarray(positions, np.float64)
-    qq = (p * p).sum(axis=1)
-    j_idx = np.arange(n)
-    thr2 = float(distance_threshold) ** 2
+    p = jnp.asarray(np.asarray(positions, np.float32))
+    thr2 = jnp.float32(float(distance_threshold) ** 2)
+    c = min(row_chunk, n)
     out = []
-    for s in range(0, n, row_chunk):
-        rows = p[s:s + row_chunk]
-        d2 = (qq[s:s + row_chunk, None] + qq[None, :]
-              - 2.0 * rows @ p.T)                       # (c, n)
-        band = (j_idx[None, :] - (s + np.arange(len(rows)))[:, None]) \
-            >= skip_frames
-        hit = (d2 < thr2) & band
-        has = hit.any(axis=1)
-        first_j = np.argmax(hit, axis=1)
-        i_local = np.nonzero(has)[0]
-        out.append(np.stack([first_j[i_local], s + i_local], axis=1))
-    return (np.concatenate(out) if out
+    for s in range(0, n, c):
+        start = min(s, n - c)          # full-width chunk, one executable
+        has, first_j = _revisit_chunk(p, jnp.int32(start), c, thr2,
+                                      skip_frames)
+        has, first_j = np.asarray(has), np.asarray(first_j)
+        lo = s - start                 # drop the overlap of the last chunk
+        i_local = np.nonzero(has[lo:])[0] + lo
+        out.append(np.stack([first_j[i_local], start + i_local], axis=1))
+    return (np.concatenate(out).astype(np.int64) if out
             else np.zeros((0, 2), np.int64))
 
 
