@@ -17,13 +17,18 @@ from temporal-graph context.
 
 Run:  python experiments/degraded_recall.py [--epochs 30] [--frames 400]
 
-Measured on one TPU v5e (2026-08-16):
+Measured on one TPU v5e (2026-08-16/17):
     defaults (400 frames, 15 epochs):
         raw descriptor  R@1 0.167   R@5 0.328   (180 queries)
         GNN-enhanced    R@1 0.267   R@5 0.444 (via run_benchmark)
     --frames 600 --epochs 40:
         raw descriptor  R@1 0.269   R@5 0.458   (271 queries)
         GNN-enhanced    R@1 0.391   (+45% relative)
+    --frames 600 --epochs 40 --normalize:
+        GNN-enhanced    R@1 0.406   (raw 0.269)
+    --frames 1200 --epochs 60 --normalize (best recovered):
+        raw descriptor  R@1 0.255   R@5 0.435   (542 queries)
+        GNN-enhanced    R@1 0.472   (+85% relative)
     --clean (safety, 400 frames, 15 epochs):
         raw descriptor  R@1 1.000   R@5 1.000   (180 queries)
         GNN-enhanced    R@1 1.000   -> SAFETY OK (no degradation)
