@@ -213,3 +213,42 @@ def test_checker_flags_off_row_points():
     pts[0, 5, :, 2] += 5.0
     rep = ring_structure_report(pts, CFG, ROWS)
     assert not rep["ok"] and rep["off_row_points"] > 0
+
+
+def test_densify_rings_vmem_interpret_matches_xla():
+    """Interpret-mode parity for the chunk-local VMEM densify (compact
+    with LOCAL ranks + per-chunk-window expansion, no merge levels)
+    against the XLA fallback on the same run arrays — including a chunk
+    whose window is not 128-aligned (width 720, rpc collapsing to R)."""
+    from neural_spectral_codec_tpu.ops.range_image import _densify_xla
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        _densify_rings_vmem, _ring_keys, _ring_run_starts)
+
+    for R, P in ((16, 200), (8, 384)):
+        pts = make_structured_ring_scans(3, R, P, CFG, seed=5,
+                                         dropout=0.15)
+        vals, key = _ring_keys(jnp.asarray(pts), CFG)
+        ppad = -(-P // 128) * 128
+        key = jnp.pad(key, ((0, 0), (0, 0), (0, ppad - P)),
+                      constant_values=-1.0)
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, ppad - P)),
+                       constant_values=jnp.inf)
+        b = pts.shape[0]
+        col_f, m = _ring_run_starts(key.reshape(b * R, ppad),
+                                    vals.reshape(b * R, ppad),
+                                    CFG.n_azimuth, 2)
+        col_f = col_f.reshape(b, R, ppad)
+        m = m.reshape(b, R, ppad)
+        width = 2 * CFG.n_azimuth
+
+        got = np.asarray(_densify_rings_vmem(col_f, m, R, width,
+                                             interpret=True))
+        ring_base = (jnp.arange(R, dtype=jnp.float32)
+                     * float(width))[None, :, None]
+        pix = jnp.where(col_f >= 0.0, col_f + ring_base,
+                        float(1 << 29)).astype(jnp.int32)
+        ref = np.asarray(_densify_xla(
+            pix.reshape(b, R * ppad),
+            jnp.where(col_f >= 0.0, m, 0.0).reshape(b, R * ppad),
+            (col_f >= 0.0).reshape(b, R * ppad), R * width))
+        np.testing.assert_array_equal(got, ref)
