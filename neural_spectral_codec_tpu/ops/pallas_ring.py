@@ -31,9 +31,13 @@ _ROWS = 8
 
 
 def _ring_kernel(key_ref, val_ref, colf_ref, m_ref, *, p, n_azim, n_folds):
+    """Same stage chain and semantics as ring_path._ring_run_starts:
+    folded-key run identity (no uniformity carry in the doubling) and
+    min-reduce fold positions instead of a log2(P) prefix."""
     key = key_ref[:]
     m = val_ref[:]
     col = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, p), 1)
+    colf32 = col.astype(jnp.float32)
     one = jnp.ones((_ROWS, p), jnp.float32)
     zero = jnp.zeros((_ROWS, p), jnp.float32)
 
@@ -44,41 +48,42 @@ def _ring_kernel(key_ref, val_ref, colf_ref, m_ref, *, p, n_azim, n_folds):
         key = jnp.where(key < 0.0, pltpu.roll(key, sh, axis=1), key)
         sh *= 2
 
-    # 2. segmented circular run-min (forward doubling; ok = window-uniform
-    #    carry, as f32 0/1)
-    ok = one
+    # 2. run starts on raw keys; position 0 is ALWAYS a start when valid
+    #    (wrap-run head pieces and circularly-constant rings — see
+    #    ring_path._ring_run_starts)
+    prev = pltpu.roll(key, 1, axis=1)
+    is_start = ((key != prev) | (col == 0)) & (key >= 0.0)
+    startf = jnp.where(is_start, one, zero)
+
+    # 3. per-position fold index from event-position min-reduces
+    #    (≤ n_folds-1 wrap events per contract ring; clamped overflow
+    #    runs are dropped below and cannot merge with kept ones)
+    noninc = (startf > 0.5) & (col > 0) & (key <= prev)
+    f = zero
+    big = float(p)
+    lo = jnp.full((_ROWS, 1), -1.0, jnp.float32)
+    for _ in range(n_folds):
+        pos_k = jnp.min(jnp.where(noninc & (colf32 > lo), colf32, big),
+                        axis=1, keepdims=True)
+        f = f + jnp.where(colf32 >= pos_k, one, zero)
+        lo = pos_k
+
+    fkey = key + float(n_azim) * f
+
+    # 4. segmented run-min: forward doubling on the folded key — the
+    #    folded-key sequence is non-decreasing along the ring, so
+    #    endpoint equality implies window uniformity (no ok carry)
     sh = 1
     while sh < p:
         back = p - sh                       # roll left by sh
-        key_s = pltpu.roll(key, back, axis=1)
+        fkey_s = pltpu.roll(fkey, back, axis=1)
         m_s = pltpu.roll(m, back, axis=1)
-        ok_s = pltpu.roll(ok, back, axis=1)
-        extend = (ok > 0.5) & (key_s == key)
-        m = jnp.where(extend, jnp.minimum(m, m_s), m)
-        ok = jnp.where(extend & (ok_s > 0.5), one, zero)
+        m = jnp.where(fkey_s == fkey, jnp.minimum(m, m_s), m)
         sh *= 2
 
-    # 3. circular run starts; force position 0 for circularly-constant
-    #    rows (their single run has no key change)
-    prev = pltpu.roll(key, 1, axis=1)
-    is_start = (key != prev) & (key >= 0.0)
-    startf = jnp.where(is_start, one, zero)
-    has = jnp.max(startf, axis=1, keepdims=True)
-    startf = jnp.where((has < 0.5) & (col == 0) & (key >= 0.0), one, startf)
     startf = jnp.where(jnp.isfinite(m), startf, zero)
-
-    # 4. fold index: inclusive prefix count of linear non-increases
-    noninc = jnp.where((startf > 0.5) & (col > 0) & (key <= prev), one,
-                       zero)
-    f = noninc
-    sh = 1
-    while sh < p:
-        f = f + jnp.where(col >= sh, pltpu.roll(f, sh, axis=1), 0.0)
-        sh *= 2
-
-    okfold = f <= float(n_folds - 1)
-    colf_ref[:] = jnp.where((startf > 0.5) & okfold,
-                            key + float(n_azim) * f, -1.0)
+    colf_ref[:] = jnp.where((startf > 0.5) & (f <= float(n_folds - 1)),
+                            fkey, -1.0)
     m_ref[:] = m
 
 

@@ -34,14 +34,16 @@ Algorithm (all fixed-shape, jit-compatible):
      TRANSPARENT via a circular jump-fill of the azimuth-bin key from the
      nearest valid point to the left (log2 P stages) — they join that
      point's run carrying value +inf;
-  3. segmented circular run-min: m[p] = exact min over the circular run
-     starting at p (doubling with a window-uniformity carry);
-  4. run starts (circular key change; a wrap run emits ONE start carrying
-     the full circular min); each start's target column is
-     ``azbin + 360·(inclusive count of linear non-increases)`` — the
-     wrap run lands in fold 1, so targets are strictly increasing per
-     ring and the fold-min at the end restores exact scatter-min
-     semantics;
+  3. per-position fold index f (inclusive count of linear non-increase
+     events, found with ``n_folds`` min-reduces — at most n_folds-1
+     events per contract ring); run identity is the FOLDED key
+     ``azbin + 360·f``, which is non-decreasing along the ring, so the
+     run-min doubling needs no window-uniformity carry;
+  4. segmented run-min on folded keys: each start carries the exact min
+     of its own fold piece (a wrap-around run splits into head and tail
+     pieces whose fold-min reunites to the exact circular min); start
+     targets are strictly increasing per ring, and the fold-min at the
+     end restores exact scatter-min semantics;
   5. per-ring compaction → pairwise merges → butterfly expansion into the
      (R, n_folds·360) folded image via the existing Pallas kernels (one
      HBM read of the run arrays, one image write), fold-min, place rows.
@@ -97,12 +99,24 @@ def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
 
     key:  (N, P) azimuth bin (f32), -1 at invalid slots.
     vals: (N, P) range, +inf at invalid slots.
-    Returns (col_f, min_f): the folded target column (azbin + 360·fold,
-    f32, -1 at non-starts / fold-overflow) and the exact circular run min
-    at each start. All comparisons/carries in f32 (values < 2^24, exact).
-    """
+    Returns (col_f, min_f): the folded target column (azbin + n_azim·fold,
+    f32, -1 at non-starts / fold-overflow) and the exact run min at each
+    start. All comparisons/carries in f32 (values < 2^24, exact).
+
+    Run identity is the FOLDED key (azbin + n_azim·fold with fold
+    computed per POSITION): the folded-key sequence is non-decreasing
+    along the ring, so window-endpoint equality already implies window
+    uniformity and the doubling needs no separate uniformity carry (one
+    fewer rolled array per stage). A wrap-around run thereby splits into
+    its head (fold 0) and tail (last fold) pieces, each start carrying
+    its own piece's min — the downstream fold-min reunites them into the
+    exact circular pixel min, so the final image is unchanged. Fold
+    positions come from ``n_folds`` min-reduces (at most n_folds-1 wrap
+    events per contract-satisfying ring) instead of a log2(P)-stage
+    prefix."""
     P = key.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, key.shape, key.ndim - 1)
+    colf32 = col.astype(jnp.float32)
 
     # 1. circular jump-fill: holes adopt the nearest valid key to the left
     sh = 1
@@ -110,41 +124,47 @@ def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
         key = jnp.where(key < 0.0, jnp.roll(key, sh, axis=-1), key)
         sh *= 2
 
-    # 2. segmented circular run-min (forward doubling with a
-    #    window-uniformity carry)
-    m = vals
-    ok = jnp.ones(key.shape, bool)
-    sh = 1
-    while sh < P:
-        key_s = jnp.roll(key, -sh, axis=-1)
-        m_s = jnp.roll(m, -sh, axis=-1)
-        ok_s = jnp.roll(ok, -sh, axis=-1)
-        extend = ok & (key_s == key)
-        m = jnp.where(extend, jnp.minimum(m, m_s), m)
-        ok = extend & ok_s
-        sh *= 2
-
-    # 3. circular run starts; a circularly-constant ring has no key change
-    #    → force position 0 (its m[0] is the whole-ring min)
+    # 2. run starts on RAW keys (positions where the key changes).
+    #    Position 0 is ALWAYS a start when valid: a wrap-around run whose
+    #    head piece begins mid-array has no key change at 0, yet its
+    #    head-piece min must be emitted (fold 0) — the tail start only
+    #    carries the tail piece under folded-key run identity. This also
+    #    covers circularly-constant rings. Pure-hole head pieces are
+    #    dropped by the finite-m guard below.
     prev = jnp.roll(key, 1, axis=-1)
-    start = (key != prev) & (key >= 0.0)
-    none = ~jnp.any(start, axis=-1, keepdims=True)
-    start = start | (none & (col == 0) & (key >= 0.0))
-    start = start & jnp.isfinite(m)
+    start = ((key != prev) | (col == 0)) & (key >= 0.0)
 
-    # 4. fold index: inclusive prefix count (linear) of non-increasing
-    #    start keys; key[p-1] is the previous run's key because keys are
-    #    constant within a run
-    noninc = (start & (col > 0) & (key <= prev)).astype(jnp.float32)
-    f = noninc
+    # 3. per-position fold index via event-position reduces: event k's
+    #    position is the k-th linear non-increase among starts; f[p] =
+    #    #{events at positions <= p}, clamped at n_folds (clamped runs
+    #    are dropped below and cannot merge with kept ones — their
+    #    folded keys differ from every kept run's)
+    noninc = start & (col > 0) & (key <= prev)
+    f = jnp.zeros(key.shape, jnp.float32)
+    big = float(P)
+    lo = jnp.full(key.shape[:-1] + (1,), -1.0)
+    for _ in range(n_folds):
+        pos_k = jnp.min(jnp.where(noninc & (colf32 > lo), colf32, big),
+                        axis=-1, keepdims=True)
+        f = f + jnp.where(colf32 >= pos_k, 1.0, 0.0)
+        lo = pos_k
+
+    fkey = key + float(n_azim) * f
+
+    # 4. segmented run-min (forward doubling on the folded key; no
+    #    uniformity carry needed — see docstring)
+    m = vals
     sh = 1
     while sh < P:
-        f = f + jnp.where(col >= sh, jnp.roll(f, sh, axis=-1), 0.0)
+        fkey_s = jnp.roll(fkey, -sh, axis=-1)
+        m_s = jnp.roll(m, -sh, axis=-1)
+        m = jnp.where(fkey_s == fkey, jnp.minimum(m, m_s), m)
         sh *= 2
+
+    start = start & jnp.isfinite(m)
     # overflowing folds (contract violation beyond n_folds-1) are DROPPED,
     # never allowed to corrupt the monotone routing
-    okfold = f <= float(n_folds - 1)
-    col_f = jnp.where(start & okfold, key + float(n_azim) * f, -1.0)
+    col_f = jnp.where(start & (f <= float(n_folds - 1)), fkey, -1.0)
     return col_f, m
 
 
