@@ -70,11 +70,15 @@ def _compact_kernel(val_ref, pix_ref, off_ref, val_out, expd_out, *,
         shift *= 2
     rank = incl - flag
 
+    # the flag rides INSIDE the payload as a +1 sentinel (expd1 = expd+1
+    # when flagged, 0 when empty — expd is always >= 0 for flagged
+    # entries since pix >= global rank under monotone compaction): one
+    # fewer rolled array per butterfly stage
     if first_level:
         # payload displacement for the later expansion: pix - global rank
-        expd = jnp.where(flag > 0.5, pixf - rank - off, 0.0)
+        expd1 = jnp.where(flag > 0.5, pixf - rank - off + 1.0, 0.0)
     else:
-        expd = jnp.where(flag > 0.5, pixf, 0.0)
+        expd1 = jnp.where(flag > 0.5, pixf + 1.0, 0.0)
     val = jnp.where(flag > 0.5, val, 0.0)
     disp = jnp.where(flag > 0.5, colf - rank, 0.0)  # leftward move distance
 
@@ -84,21 +88,20 @@ def _compact_kernel(val_ref, pix_ref, off_ref, val_out, expd_out, *,
         # bit k of disp, via exact f32 floor arithmetic
         t = jnp.floor(disp * (1.0 / step))
         bit = t - 2.0 * jnp.floor(t * 0.5)
-        mv = jnp.where((flag > 0.5) & (bit > 0.5), one, zero)
+        mv = jnp.where((expd1 > 0.5) & (bit > 0.5), one, zero)
         back = m - step
         inc = (pltpu.roll(mv, back, axis=1) > 0.5) & (col < m - step)
         moving = mv > 0.5
         val = jnp.where(inc, pltpu.roll(val, back, axis=1),
                         jnp.where(moving, zero, val))
-        expd = jnp.where(inc, pltpu.roll(expd, back, axis=1),
-                         jnp.where(moving, zero, expd))
+        expd1 = jnp.where(inc, pltpu.roll(expd1, back, axis=1),
+                          jnp.where(moving, zero, expd1))
         disp = jnp.where(inc, pltpu.roll(disp, back, axis=1) - float(step),
                          jnp.where(moving, zero, disp))
-        flag = jnp.where(inc, one, jnp.where(moving, zero, flag))
 
     val_out[:] = val[:, :n_out]
     # sentinel -1 beyond the compacted prefix so flags survive round-trips
-    expd_out[:] = jnp.where(flag[:, :n_out] > 0.5, expd[:, :n_out], -1.0)
+    expd_out[:] = expd1[:, :n_out] - 1.0
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))

@@ -26,25 +26,27 @@ from jax.experimental.pallas import tpu as pltpu
 _SCANS = 8
 
 
-def _kernel(cval_ref, disp_ref, flag_ref, out_ref, *, m, n_pix, n_stages):
-    """Flags and mover masks ride as f32 0/1 — Mosaic's rotate supports
-    only 32-bit element types, so bool arrays cannot be rolled."""
+def _kernel(cval_ref, disp1_ref, out_ref, *, m, n_pix, n_stages):
+    """``disp1`` carries displacement+1 for flagged entries and 0 for
+    empty slots — the flag rides inside the displacement as a sentinel,
+    so each stage rolls only TWO arrays (mover masks stay f32 0/1:
+    Mosaic's rotate supports only 32-bit element types)."""
     val = cval_ref[:]
-    disp = disp_ref[:]
-    flag = flag_ref[:]                      # f32 0/1
+    disp1 = disp1_ref[:]
     col = jax.lax.broadcasted_iota(jnp.int32, (_SCANS, m), 1)
-    one = jnp.ones_like(flag)
-    zero = jnp.zeros_like(flag)
+    one = jnp.ones_like(val)
+    zero = jnp.zeros_like(val)
     for k in reversed(range(n_stages)):
         step = 1 << k
-        mv = jnp.where((flag > 0.5) & (disp >= float(step)), one, zero)
+        # disp1 >= step+1 ⟺ flagged with remaining displacement >= step
+        mv = jnp.where(disp1 >= float(step + 1), one, zero)
         inc = (pltpu.roll(mv, step, axis=1) > 0.5) & (col >= step)
         moving = mv > 0.5
         val = jnp.where(inc, pltpu.roll(val, step, axis=1),
                         jnp.where(moving, zero, val))
-        disp = jnp.where(inc, pltpu.roll(disp, step, axis=1) - float(step),
-                         jnp.where(moving, zero, disp))
-        flag = jnp.where(inc, one, jnp.where(moving, zero, flag))
+        disp1 = jnp.where(inc,
+                          pltpu.roll(disp1, step, axis=1) - float(step),
+                          jnp.where(moving, zero, disp1))
     out_ref[:] = val[:, :n_pix]
 
 
@@ -60,12 +62,14 @@ def expand_pallas(cval: jnp.ndarray, disp: jnp.ndarray, flag: jnp.ndarray,
         raise ValueError("expand_pallas needs 128-aligned M and n_pix")
     n_stages = max(n_pix.bit_length(), 1)
 
+    # pack flag into the displacement: disp+1 when flagged, 0 when empty
+    disp1 = jnp.where(flag > 0.5, disp.astype(jnp.float32) + 1.0, 0.0)
+
     pad = (-b) % _SCANS
     if pad:
         z = jnp.zeros((pad, m), jnp.float32)
         cval = jnp.concatenate([cval, z])
-        disp = jnp.concatenate([disp, z])
-        flag = jnp.concatenate([flag, z])
+        disp1 = jnp.concatenate([disp1, z])
 
     kernel = functools.partial(_kernel, m=m, n_pix=n_pix,
                                n_stages=n_stages)
@@ -73,13 +77,12 @@ def expand_pallas(cval: jnp.ndarray, disp: jnp.ndarray, flag: jnp.ndarray,
         kernel,
         grid=(cval.shape[0] // _SCANS,),
         in_specs=[pl.BlockSpec((_SCANS, m), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] * 3,
+                               memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec((_SCANS, n_pix), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cval.shape[0], n_pix), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(cval.astype(jnp.float32), disp.astype(jnp.float32),
-      flag.astype(jnp.float32))
+    )(cval.astype(jnp.float32), disp1)
     return out[:b]
