@@ -1,21 +1,27 @@
-"""Pallas TPU kernel: the ring-path per-ring stage chain in VMEM.
+"""Pallas TPU kernel: the FULL ring-path per-ring pipeline in one VMEM pass.
 
-The XLA formulation of the ring fast path (ops/ring_path._ring_run_starts)
-runs ~35 roll+select stages over (B·R, P) f32 arrays — each a full HBM
-round trip (~4 us/scan/stage at full HDL-64E density, ~140 us/scan total,
-measured). This kernel keeps the whole chain — circular jump-fill,
-segmented circular run-min, run starts, fold prefix — in VMEM: one HBM
-read of (key, val), one write of (col_f, m).
+The XLA formulation of the ring fast path (ops/ring_path._ring_run_starts
++ densify) runs ~35 roll+select stages over (B·R, P) f32 arrays — each a
+full HBM round trip (~4 us/scan/stage at full HDL-64E density, ~140
+us/scan total, measured). Earlier revisions split the work across three
+kernels (ring stage chain → monotone compaction → butterfly expansion),
+which still round-tripped the (col_f, m) run arrays through HBM twice.
+This kernel runs the WHOLE chain per ring — circular jump-fill, fold
+positions, segmented run-min on folded keys, run starts, in-VMEM rank
+prefix + leftward compaction butterfly, and rightward expansion into the
+ring's own folded-image row — in a single program: one HBM read of
+(key, val), one write of the dense (n_folds·n_azim)-wide folded row.
 
-Padding transparency: rows are padded to a 128-aligned width with
-key = −1 / val = +inf, which the jump-fill treats exactly like dropout
-(pad slots adopt the preceding run's key and carry +inf), so the circular
-rolls over the PADDED width compute the same runs as the true ring length
-— no special wrap handling needed.
+Why per-ring compaction needs no cross-ring merge: a ring's folded
+targets are strictly increasing values in [0, n_folds·n_azim), so a ring
+emits at most one start per folded column — its compact prefix and its
+expansion window are both bounded by the ring's own folded row. Rings
+never interact (they own disjoint image rows).
 
 Mosaic-safety (CLAUDE.md): every rolled array rides as f32 (keys, mins,
-0/1 flags, fold counts — all < 2^24, exact in f32); ``pltpu.roll`` is
-circular; leftward rolls are expressed as ``roll(x, P − s)``.
+0/1 flags, displacements — all < 2^24, exact); ``pltpu.roll`` is
+circular; leftward rolls are expressed as ``roll(x, P − s)``; flags ride
+inside payloads as +1 sentinels (one fewer rolled array per stage).
 """
 
 from __future__ import annotations
@@ -30,10 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS = 8
 
 
-def _ring_kernel(key_ref, val_ref, colf_ref, m_ref, *, p, n_azim, n_folds):
-    """Same stage chain and semantics as ring_path._ring_run_starts:
-    folded-key run identity (no uniformity carry in the doubling) and
-    min-reduce fold positions instead of a log2(P) prefix."""
+def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
+                      wpad):
     key = key_ref[:]
     m = val_ref[:]
     col = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, p), 1)
@@ -52,12 +56,10 @@ def _ring_kernel(key_ref, val_ref, colf_ref, m_ref, *, p, n_azim, n_folds):
     #    (wrap-run head pieces and circularly-constant rings — see
     #    ring_path._ring_run_starts)
     prev = pltpu.roll(key, 1, axis=1)
-    is_start = ((key != prev) | (col == 0)) & (key >= 0.0)
-    startf = jnp.where(is_start, one, zero)
+    startf = jnp.where(((key != prev) | (col == 0)) & (key >= 0.0),
+                       one, zero)
 
     # 3. per-position fold index from event-position min-reduces
-    #    (≤ n_folds-1 wrap events per contract ring; clamped overflow
-    #    runs are dropped below and cannot merge with kept ones)
     noninc = (startf > 0.5) & (col > 0) & (key <= prev)
     f = zero
     big = float(p)
@@ -70,9 +72,9 @@ def _ring_kernel(key_ref, val_ref, colf_ref, m_ref, *, p, n_azim, n_folds):
 
     fkey = key + float(n_azim) * f
 
-    # 4. segmented run-min: forward doubling on the folded key — the
-    #    folded-key sequence is non-decreasing along the ring, so
-    #    endpoint equality implies window uniformity (no ok carry)
+    # 4. segmented run-min: forward doubling on the folded key (non-
+    #    decreasing along the ring → endpoint equality implies window
+    #    uniformity, no carry needed)
     sh = 1
     while sh < p:
         back = p - sh                       # roll left by sh
@@ -81,42 +83,98 @@ def _ring_kernel(key_ref, val_ref, colf_ref, m_ref, *, p, n_azim, n_folds):
         m = jnp.where(fkey_s == fkey, jnp.minimum(m, m_s), m)
         sh *= 2
 
-    startf = jnp.where(jnp.isfinite(m), startf, zero)
-    colf_ref[:] = jnp.where((startf > 0.5) & (f <= float(n_folds - 1)),
-                            fkey, -1.0)
-    m_ref[:] = m
+    flagged = (startf > 0.5) & jnp.isfinite(m) & (f <= float(n_folds - 1))
+    flagf = jnp.where(flagged, one, zero)
+
+    # 5. rank: exclusive prefix count of kept starts (linear
+    #    Hillis-Steele in VMEM)
+    incl = flagf
+    sh = 1
+    while sh < p:
+        incl = incl + jnp.where(col >= sh, pltpu.roll(incl, sh, axis=1),
+                                0.0)
+        sh *= 2
+    rank = incl - flagf
+
+    # 6. leftward LSB-first compaction butterfly. Payload d1e carries the
+    #    EXPANSION displacement+1 (target − final slot + 1 = fkey − rank
+    #    + 1 ≥ 1; empty slots 0): after compaction each entry sits at
+    #    slot ``rank`` holding exactly what step 7 routes by.
+    valp = jnp.where(flagged, m, 0.0)
+    d1e = jnp.where(flagged, fkey - rank + 1.0, 0.0)
+    disp = jnp.where(flagged, colf32 - rank, 0.0)
+    n_stages_c = max((p - 1).bit_length(), 1)
+    for k in range(n_stages_c):
+        step = 1 << k
+        t = jnp.floor(disp * (1.0 / step))
+        bit = t - 2.0 * jnp.floor(t * 0.5)
+        mv = jnp.where((d1e > 0.5) & (bit > 0.5), one, zero)
+        back = p - step
+        inc = (pltpu.roll(mv, back, axis=1) > 0.5) & (col < p - step)
+        moving = mv > 0.5
+        valp = jnp.where(inc, pltpu.roll(valp, back, axis=1),
+                         jnp.where(moving, zero, valp))
+        d1e = jnp.where(inc, pltpu.roll(d1e, back, axis=1),
+                        jnp.where(moving, zero, d1e))
+        disp = jnp.where(inc, pltpu.roll(disp, back, axis=1) - float(step),
+                         jnp.where(moving, zero, disp))
+
+    # 7. rightward MSB-first expansion inside the ring's own folded row
+    #    (≤ n_folds·n_azim entries, targets < n_folds·n_azim ≤ wpad)
+    if p >= wpad:
+        valw = valp[:, :wpad]
+        d1w = d1e[:, :wpad]
+    else:
+        padz = jnp.zeros((_ROWS, wpad - p), jnp.float32)
+        valw = jnp.concatenate([valp, padz], axis=1)
+        d1w = jnp.concatenate([d1e, padz], axis=1)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, wpad), 1)
+    onew = jnp.ones((_ROWS, wpad), jnp.float32)
+    zerow = jnp.zeros((_ROWS, wpad), jnp.float32)
+    n_stages_e = max((n_folds * n_azim - 1).bit_length(), 1)
+    for k in reversed(range(n_stages_e)):
+        step = 1 << k
+        mv = jnp.where(d1w >= float(step + 1), onew, zerow)
+        inc = (pltpu.roll(mv, step, axis=1) > 0.5) & (colw >= step)
+        moving = mv > 0.5
+        valw = jnp.where(inc, pltpu.roll(valw, step, axis=1),
+                         jnp.where(moving, zerow, valw))
+        d1w = jnp.where(inc, pltpu.roll(d1w, step, axis=1) - float(step),
+                        jnp.where(moving, zerow, d1w))
+    out_ref[:] = valw
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def ring_run_starts_pallas(key: jnp.ndarray, vals: jnp.ndarray,
-                           n_azim: int, n_folds: int,
-                           interpret: bool = False):
+def ring_fold_pallas(key: jnp.ndarray, vals: jnp.ndarray,
+                     n_azim: int, n_folds: int,
+                     interpret: bool = False):
     """(N, Ppad) f32 key (−1 = invalid/pad) + vals (+inf at those slots)
-    → (col_f, m): folded target columns at run starts (−1 elsewhere) and
-    exact circular run minima. Ppad must be 128-aligned; N is padded to a
-    multiple of 8 internally. Semantically identical to the XLA stage
-    chain in ops/ring_path._ring_run_starts."""
+    → (N, wpad) dense folded rows (wpad = n_folds·n_azim rounded up to
+    128; zero = empty pixel), semantically the folded image the XLA
+    chain (ring_path._ring_run_starts + _densify_xla) produces. Ppad
+    must be 128-aligned; N is padded to a multiple of 8 internally."""
     n, p = key.shape
     if p % 128:
-        raise ValueError("ring_run_starts_pallas needs 128-aligned width")
+        raise ValueError("ring_fold_pallas needs 128-aligned width")
+    wpad = -(-(n_folds * n_azim) // 128) * 128
     pad = (-n) % _ROWS
     if pad:
         key = jnp.concatenate(
             [key, -jnp.ones((pad, p), jnp.float32)])
         vals = jnp.concatenate(
             [vals, jnp.full((pad, p), jnp.inf, jnp.float32)])
-    kernel = functools.partial(_ring_kernel, p=p, n_azim=n_azim,
-                               n_folds=n_folds)
-    colf, m = pl.pallas_call(
+    kernel = functools.partial(_ring_fold_kernel, p=p, n_azim=n_azim,
+                               n_folds=n_folds, wpad=wpad)
+    folded = pl.pallas_call(
         kernel,
         grid=(key.shape[0] // _ROWS,),
         in_specs=[pl.BlockSpec((_ROWS, p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * 2,
-        out_specs=[pl.BlockSpec((_ROWS, p), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((key.shape[0], p), jnp.float32)] * 2,
+        out_specs=pl.BlockSpec((_ROWS, wpad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((key.shape[0], wpad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(key.astype(jnp.float32), vals.astype(jnp.float32))
-    return colf[:n], m[:n]
+    return folded[:n]

@@ -178,69 +178,6 @@ def _fold_min(img_folded: jnp.ndarray, n_folds: int,
     return jnp.where(jnp.isinf(x), 0.0, x)
 
 
-def _densify_rings_vmem(col_f, run_min, R: int, width: int,
-                        interpret: bool = False):
-    """Chunk-LOCAL compaction + per-chunk expansion, all in VMEM, zero
-    merge levels. col_f/run_min: (B, R, Ppad) with Ppad 128-aligned;
-    targets are folded-image columns (strictly increasing per ring).
-    Returns (B, R·width) folded images (width = n_folds·n_azim per ring
-    row).
-
-    Key bound that removes the merge tree the earlier revision needed:
-    a ring's targets are strictly increasing values in [0, width), so a
-    ring emits at most ``width`` starts and an ``rpc``-ring chunk at most
-    ``rpc·width`` — exactly its own window in the folded image. Chunks
-    therefore never interact: compact each with LOCAL ranks (offsets=0)
-    and expand each within its own 128-aligned window, with the (B, C·W)
-    array viewed as (B·C, W) rows. vs the global scheme (compact → 3
-    pairwise merge passes → one 17-stage expansion over all 46,080
-    lanes) this deletes the merges and shrinks expansion to 13 stages
-    over 5,760-lane windows — about half the butterfly lane-work."""
-    from neural_spectral_codec_tpu.ops.pallas_compact import compact_pallas
-    from neural_spectral_codec_tpu.ops.pallas_densify import expand_pallas
-
-    b, r, ppad = col_f.shape
-    n_pix = R * width
-    # group several rings per level-0 chunk (8x fewer kernel programs
-    # than one-ring chunks, bounded by VMEM)
-    rpc = 1
-    while (rpc < 8 and rpc * 2 <= R and R % (rpc * 2) == 0
-           and rpc * 2 * ppad <= 36864):
-        rpc *= 2
-    n_chunks = R // rpc
-
-    # pixel id LOCAL to the chunk's window: ring-within-chunk · width + col
-    ring_local = ((jnp.arange(R, dtype=jnp.float32) % rpc)
-                  * float(width))[None, :, None]
-    pixf = jnp.where(col_f >= 0.0, col_f + ring_local, -1.0)
-    valz = jnp.where(col_f >= 0.0, run_min, 0.0)
-    pixf = pixf.reshape(b, r * ppad)
-    valz = valz.reshape(b, r * ppad)
-
-    win = -(-(rpc * width) // 128) * 128     # chunk window, 128-aligned
-    # compact output is capped by the chunk's own lane count (a ring has
-    # at most min(width, ppad) starts); sparse rings (ppad < width) then
-    # need a pad up to the expansion window — a no-op at full density
-    n_out = min(win, rpc * ppad)
-    val_c, expd_c = compact_pallas(
-        valz, pixf, jnp.zeros((b, n_chunks), jnp.float32), n_out,
-        first_level=True, interpret=interpret)
-    val_c = val_c.reshape(b, n_chunks, n_out)
-    expd_c = expd_c.reshape(b, n_chunks, n_out)
-    if n_out < win:
-        val_c = jnp.pad(val_c, ((0, 0), (0, 0), (0, win - n_out)))
-        expd_c = jnp.pad(expd_c, ((0, 0), (0, 0), (0, win - n_out)),
-                         constant_values=-1.0)
-    # per-chunk expansion: rows of the (B·C, win) view are independent
-    flag = (expd_c >= 0.0).astype(jnp.float32)
-    out = expand_pallas(
-        val_c.reshape(b * n_chunks, win),
-        jnp.maximum(expd_c, 0.0).reshape(b * n_chunks, win),
-        flag.reshape(b * n_chunks, win), win, interpret=interpret)
-    out = out.reshape(b, n_chunks, win)[:, :, :rpc * width]
-    return out.reshape(b, n_pix)
-
-
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
                         row_of_ring: Tuple[int, ...],
@@ -271,29 +208,27 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
                       constant_values=-1.0)
         vals = jnp.pad(vals, ((0, 0), (0, 0), (0, ppad - P)),
                        constant_values=jnp.inf)
+    width = n_folds * config.n_azimuth
+
     if jax.default_backend() == "tpu":
+        # ONE fused VMEM kernel per 8 rings: stage chain + in-VMEM
+        # per-ring compaction + expansion into the folded rows — no
+        # intermediate HBM arrays at all
         from neural_spectral_codec_tpu.ops.pallas_ring import (
-            ring_run_starts_pallas)
-        col_f, m = ring_run_starts_pallas(
+            ring_fold_pallas)
+        folded = ring_fold_pallas(
             key.reshape(b * R, ppad), vals.reshape(b * R, ppad),
             config.n_azimuth, n_folds)
+        folded = folded[:, :width].reshape(b, R, width)
     else:
+        # XLA fallback (CPU tests): the flattened (ring-major) start
+        # sequence has globally increasing targets, which is exactly
+        # _densify_xla's precondition
         col_f, m = _ring_run_starts(key.reshape(b * R, ppad),
                                     vals.reshape(b * R, ppad),
                                     config.n_azimuth, n_folds)
-    col_f = col_f.reshape(b, R, ppad)
-    m = m.reshape(b, R, ppad)
-
-    width = n_folds * config.n_azimuth
-
-    use_vmem = (jax.default_backend() == "tpu" and R >= 2
-                and R & (R - 1) == 0)
-    if use_vmem:
-        folded = _densify_rings_vmem(col_f, m, R, width)
-    else:
-        # XLA fallback (CPU tests / non-power-of-two ring counts): the
-        # flattened (ring-major) start sequence has globally increasing
-        # targets, which is exactly _densify_xla's precondition
+        col_f = col_f.reshape(b, R, ppad)
+        m = m.reshape(b, R, ppad)
         ring_base = (jnp.arange(R, dtype=jnp.float32)
                      * float(width))[None, :, None]
         pix = jnp.where(col_f >= 0.0, col_f + ring_base,
@@ -301,10 +236,10 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
         folded = _densify_xla(
             pix.reshape(b, R * ppad),
             jnp.where(col_f >= 0.0, m, 0.0).reshape(b, R * ppad),
-            (col_f >= 0.0).reshape(b, R * ppad), R * width)
+            (col_f >= 0.0).reshape(b, R * ppad),
+            R * width).reshape(b, R, width)
 
-    ring_rows = _fold_min(folded.reshape(b, R, width), n_folds,
-                          config.n_azimuth)
+    ring_rows = _fold_min(folded, n_folds, config.n_azimuth)
 
     if rows == tuple(range(config.n_elevation)):
         return ring_rows

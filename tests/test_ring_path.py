@@ -136,33 +136,50 @@ def test_ring_path_fold_overflow_drops_not_corrupts():
     np.testing.assert_array_equal(row_i[mask], row_g[mask])
 
 
-def test_pallas_ring_kernel_matches_xla_chain():
-    """Interpret-mode parity: the VMEM ring kernel reproduces the XLA
-    stage chain (fill + run-min + starts + folds) exactly, including
-    padding transparency."""
-    from neural_spectral_codec_tpu.ops.pallas_ring import (
-        ring_run_starts_pallas)
+def test_pallas_ring_fold_kernel_matches_xla_chain():
+    """Interpret-mode parity: the fused VMEM kernel (stage chain +
+    in-VMEM per-ring compaction + expansion) reproduces the XLA chain's
+    folded rows exactly, including padding transparency — both for
+    rings narrower than the folded width (P < 720, in-kernel pad path)
+    and wider (P > 720, in-kernel slice path)."""
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.pallas_ring import ring_fold_pallas
+    from neural_spectral_codec_tpu.ops.range_image import _densify_xla
     from neural_spectral_codec_tpu.ops.ring_path import (
         _ring_keys, _ring_run_starts)
 
-    pts = make_structured_ring_scans(2, 16, 200, CFG, seed=11,
-                                     dropout=0.2)
-    import jax.numpy as jnp
-    vals, key = _ring_keys(jnp.asarray(pts), CFG)
-    ppad = 256
-    key = jnp.pad(key, ((0, 0), (0, 0), (0, ppad - 200)),
-                  constant_values=-1.0)
-    vals = jnp.pad(vals, ((0, 0), (0, 0), (0, ppad - 200)),
-                   constant_values=jnp.inf)
-    k2 = key.reshape(32, ppad)
-    v2 = vals.reshape(32, ppad)
-    colf_x, m_x = _ring_run_starts(k2, v2, CFG.n_azimuth, 2)
-    colf_p, m_p = ring_run_starts_pallas(k2, v2, CFG.n_azimuth, 2,
-                                         interpret=True)
-    np.testing.assert_array_equal(np.asarray(colf_p), np.asarray(colf_x))
-    sel = np.asarray(colf_x) >= 0
-    np.testing.assert_array_equal(np.asarray(m_p)[sel],
-                                  np.asarray(m_x)[sel])
+    for R, P, drop in ((16, 200, 0.2), (8, 1024, 0.15)):
+        pts = make_structured_ring_scans(2, R, P, CFG, seed=11,
+                                         dropout=drop)
+        vals, key = _ring_keys(jnp.asarray(pts), CFG)
+        ppad = -(-P // 128) * 128
+        key = jnp.pad(key, ((0, 0), (0, 0), (0, ppad - P)),
+                      constant_values=-1.0)
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, ppad - P)),
+                       constant_values=jnp.inf)
+        k2 = key.reshape(2 * R, ppad)
+        v2 = vals.reshape(2 * R, ppad)
+        width = 2 * CFG.n_azimuth
+        wpad = -(-width // 128) * 128
+
+        got = np.asarray(ring_fold_pallas(k2, v2, CFG.n_azimuth, 2,
+                                          interpret=True))
+        assert got.shape == (2 * R, wpad)
+
+        col_f, m = _ring_run_starts(k2, v2, CFG.n_azimuth, 2)
+        col_f = col_f.reshape(2, R, ppad)
+        m = m.reshape(2, R, ppad)
+        ring_base = (jnp.arange(R, dtype=jnp.float32)
+                     * float(width))[None, :, None]
+        pix = jnp.where(col_f >= 0.0, col_f + ring_base,
+                        float(1 << 29)).astype(jnp.int32)
+        ref = np.asarray(_densify_xla(
+            pix.reshape(2, R * ppad),
+            jnp.where(col_f >= 0.0, m, 0.0).reshape(2, R * ppad),
+            (col_f >= 0.0).reshape(2, R * ppad),
+            R * width)).reshape(2 * R, width)
+        np.testing.assert_array_equal(got[:, :width], ref)
+        np.testing.assert_array_equal(got[:, width:], 0.0)
 
 
 def test_encode_structured_from_flat_cloud_with_ring_ids():
@@ -213,42 +230,3 @@ def test_checker_flags_off_row_points():
     pts[0, 5, :, 2] += 5.0
     rep = ring_structure_report(pts, CFG, ROWS)
     assert not rep["ok"] and rep["off_row_points"] > 0
-
-
-def test_densify_rings_vmem_interpret_matches_xla():
-    """Interpret-mode parity for the chunk-local VMEM densify (compact
-    with LOCAL ranks + per-chunk-window expansion, no merge levels)
-    against the XLA fallback on the same run arrays — including a chunk
-    whose window is not 128-aligned (width 720, rpc collapsing to R)."""
-    from neural_spectral_codec_tpu.ops.range_image import _densify_xla
-    from neural_spectral_codec_tpu.ops.ring_path import (
-        _densify_rings_vmem, _ring_keys, _ring_run_starts)
-
-    for R, P in ((16, 200), (8, 384)):
-        pts = make_structured_ring_scans(3, R, P, CFG, seed=5,
-                                         dropout=0.15)
-        vals, key = _ring_keys(jnp.asarray(pts), CFG)
-        ppad = -(-P // 128) * 128
-        key = jnp.pad(key, ((0, 0), (0, 0), (0, ppad - P)),
-                      constant_values=-1.0)
-        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, ppad - P)),
-                       constant_values=jnp.inf)
-        b = pts.shape[0]
-        col_f, m = _ring_run_starts(key.reshape(b * R, ppad),
-                                    vals.reshape(b * R, ppad),
-                                    CFG.n_azimuth, 2)
-        col_f = col_f.reshape(b, R, ppad)
-        m = m.reshape(b, R, ppad)
-        width = 2 * CFG.n_azimuth
-
-        got = np.asarray(_densify_rings_vmem(col_f, m, R, width,
-                                             interpret=True))
-        ring_base = (jnp.arange(R, dtype=jnp.float32)
-                     * float(width))[None, :, None]
-        pix = jnp.where(col_f >= 0.0, col_f + ring_base,
-                        float(1 << 29)).astype(jnp.int32)
-        ref = np.asarray(_densify_xla(
-            pix.reshape(b, R * ppad),
-            jnp.where(col_f >= 0.0, m, 0.0).reshape(b, R * ppad),
-            (col_f >= 0.0).reshape(b, R * ppad), R * width))
-        np.testing.assert_array_equal(got, ref)
