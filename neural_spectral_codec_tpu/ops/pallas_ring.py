@@ -38,6 +38,10 @@ _ROWS = 8
 
 def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
                       wpad):
+    # packing base for the compaction payload: smallest power of two
+    # above the max expansion displacement+1; exactness needs
+    # p * base < 2^24 (guarded in ring_fold_pallas)
+    base = 1 << (n_folds * n_azim).bit_length()
     key = key_ref[:]
     m = val_ref[:]
     col = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, p), 1)
@@ -96,28 +100,38 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
         sh *= 2
     rank = incl - flagf
 
-    # 6. leftward LSB-first compaction butterfly. Payload d1e carries the
-    #    EXPANSION displacement+1 (target − final slot + 1 = fkey − rank
-    #    + 1 ≥ 1; empty slots 0): after compaction each entry sits at
-    #    slot ``rank`` holding exactly what step 7 routes by.
+    # 6. leftward LSB-first compaction butterfly, TWO rolled arrays.
+    #    In LSB-first routing an entry's move at stage k is bit k of its
+    #    ORIGINAL displacement (bits < k are already cleared when stage k
+    #    tests bit k, and subtracting 2^k never borrows into higher
+    #    bits), so the displacement needs no decrementing and rides as a
+    #    STATIC payload — packed with the expansion displacement+1
+    #    (d1e = fkey − rank + 1 ∈ [1, n_folds·n_azim] < base) into one
+    #    exact f32 integer: packed = disp0·base + d1e < 2^24. Empty
+    #    slots are 0 (d1e ≥ 1 keeps packed ≥ 1 even when disp0 = 0).
     valp = jnp.where(flagged, m, 0.0)
-    d1e = jnp.where(flagged, fkey - rank + 1.0, 0.0)
-    disp = jnp.where(flagged, colf32 - rank, 0.0)
+    packed = jnp.where(flagged,
+                       (colf32 - rank) * float(base) + (fkey - rank + 1.0),
+                       0.0)
     n_stages_c = max((p - 1).bit_length(), 1)
     for k in range(n_stages_c):
-        step = 1 << k
-        t = jnp.floor(disp * (1.0 / step))
+        # bit k of disp0 = bit k+log2(base) of packed (the d1e part is
+        # < base and can never carry into the floor: (disp0 + frac)/2^k
+        # floors to floor(disp0/2^k) for frac < 1)
+        t = jnp.floor(packed * (1.0 / (float(base) * (1 << k))))
         bit = t - 2.0 * jnp.floor(t * 0.5)
-        mv = jnp.where((d1e > 0.5) & (bit > 0.5), one, zero)
+        mv = jnp.where((packed > 0.5) & (bit > 0.5), one, zero)
+        step = 1 << k
         back = p - step
         inc = (pltpu.roll(mv, back, axis=1) > 0.5) & (col < p - step)
         moving = mv > 0.5
         valp = jnp.where(inc, pltpu.roll(valp, back, axis=1),
                          jnp.where(moving, zero, valp))
-        d1e = jnp.where(inc, pltpu.roll(d1e, back, axis=1),
-                        jnp.where(moving, zero, d1e))
-        disp = jnp.where(inc, pltpu.roll(disp, back, axis=1) - float(step),
-                         jnp.where(moving, zero, disp))
+        packed = jnp.where(inc, pltpu.roll(packed, back, axis=1),
+                           jnp.where(moving, zero, packed))
+
+    # unpack the expansion displacement+1: packed mod base
+    d1e = packed - float(base) * jnp.floor(packed * (1.0 / float(base)))
 
     # 7. rightward MSB-first expansion inside the ring's own folded row
     #    (≤ n_folds·n_azim entries, targets < n_folds·n_azim ≤ wpad)
@@ -157,6 +171,10 @@ def ring_fold_pallas(key: jnp.ndarray, vals: jnp.ndarray,
     if p % 128:
         raise ValueError("ring_fold_pallas needs 128-aligned width")
     wpad = -(-(n_folds * n_azim) // 128) * 128
+    if p * (1 << (n_folds * n_azim).bit_length()) >= 1 << 24:
+        raise ValueError("ring_fold_pallas packed payload would exceed "
+                         "exact f32 integer range; reduce Ppad or the "
+                         "folded width")
     pad = (-n) % _ROWS
     if pad:
         key = jnp.concatenate(
