@@ -363,6 +363,41 @@ def points_to_rings(points: np.ndarray, ring_ids: np.ndarray,
     return out
 
 
+def infer_ring_ids_from_sweep(points: np.ndarray,
+                              min_ring_gap_rad: float = 2e-3
+                              ) -> np.ndarray:
+    """Recover per-point ring ids from a RING-MAJOR flat stream that
+    carries no explicit ring field (KITTI .bin order: each laser's full
+    sweep stored contiguously, lasers ordered by elevation — reference
+    kitti_loader.py stores the raw stream untouched).
+
+    A ring is a fixed laser, so its elevation ANGLE is constant along
+    the sweep; a new ring starts where the elevation angle jumps by more
+    than ``min_ring_gap_rad`` (HDL-64E ring spacing is ~7e-3 rad, so the
+    default sits well under one gap and well above fp noise). Azimuth
+    wraps cannot mark boundaries — a ring that starts mid-sweep wraps
+    once WITHIN the ring (exactly the fold event the ring path handles).
+    Invalid points (NaN) inherit the current ring.
+
+    The result feeds :func:`encode_structured`, whose contract checks
+    fall back to the exact general path if the stream was not actually
+    ring-major — so a wrong guess can never corrupt a descriptor."""
+    pts = np.asarray(points)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+    xs = np.where(finite, x, 1.0)
+    ys = np.where(finite, y, 0.0)
+    zs = np.where(finite, z, 0.0)
+    elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
+                                  + np.clip(ys * ys, 0, 1e10)))
+    # forward-fill invalid elevations so holes never fake a boundary
+    idx = np.where(finite, np.arange(len(pts)), -1)
+    np.maximum.accumulate(idx, out=idx)
+    filled = np.where(idx >= 0, elev[np.maximum(idx, 0)], elev)
+    jump = np.abs(np.diff(filled)) > min_ring_gap_rad
+    return np.concatenate([[0], np.cumsum(jump)]).astype(np.int64)
+
+
 def infer_row_of_ring(rings: np.ndarray,
                       config: ProjectionConfig) -> np.ndarray:
     """Per-ring dominant elevation row (mode over valid points) — the

@@ -230,3 +230,41 @@ def test_checker_flags_off_row_points():
     pts[0, 5, :, 2] += 5.0
     rep = ring_structure_report(pts, CFG, ROWS)
     assert not rep["ok"] and rep["off_row_points"] > 0
+
+
+def test_infer_ring_ids_from_kitti_order_stream():
+    """A ring-major flat stream with no ring field (KITTI .bin order)
+    recovers its ring ids from elevation jumps, reaches the fast path
+    through encode_structured, and matches the general path exactly;
+    a shuffled stream falls back to the general path, still exact."""
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        encode_structured, infer_ring_ids_from_sweep)
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+
+    enc = SpectralEncoderConfig(use_pallas=False)
+    R, P = 32, 256
+    pts = make_structured_ring_scans(1, R, P, enc.projection, seed=13,
+                                     dropout=0.1)[0]
+    flat = pts.reshape(-1, 4)                       # ring-major stream
+    keep = ~np.all(np.isnan(flat), axis=1)          # drop NaN'd points:
+    flat = flat[keep]                               # a real stream has no
+                                                    # placeholder records
+    rids = infer_ring_ids_from_sweep(flat)
+    true_ids = np.repeat(np.arange(R), P)[keep]
+    # same segmentation (labels are both 0..R-1 in stream order)
+    np.testing.assert_array_equal(rids, true_ids)
+
+    got = encode_structured(flat, rids, 2.0, enc)
+    ref = np.asarray(encode_points_batch(
+        jnp.asarray(pad_points(flat, 16384)[None]), jnp.float32(2.0),
+        enc))[0]
+    np.testing.assert_array_equal(got, ref)
+
+    rng = np.random.default_rng(0)
+    shuf = flat[rng.permutation(len(flat))]
+    rids_s = infer_ring_ids_from_sweep(shuf)
+    got_s = encode_structured(shuf, rids_s, 2.0, enc)
+    ref_s = np.asarray(encode_points_batch(
+        jnp.asarray(pad_points(shuf, 16384)[None]), jnp.float32(2.0),
+        enc))[0]
+    np.testing.assert_array_equal(got_s, ref_s)
