@@ -117,6 +117,31 @@ class BatchEncoder:
         return np.asarray(d)[0]
 
 
+class RingMajorBatchEncoder(BatchEncoder):
+    """`encoding.ring_major: true` — for spinning-LiDAR streams whose
+    scans arrive ring-major (KITTI .bin order) or with explicit ring
+    ids: each scan takes the sort-free ring fast path
+    (ops/ring_path.encode_structured) after host-side ring-id recovery,
+    with the structure contract verified per scan and an EXACT fallback
+    to the general sorted path — output always equals the base encoder's
+    (ops/ring_path.py docstring; tests/test_pipeline.py)."""
+
+    def encode(self, clouds: Sequence[np.ndarray]) -> np.ndarray:
+        out = [self.encode_one(c) for c in clouds]
+        return np.stack(out) if out else np.zeros(
+            (0, self.config.output_dim), np.float32)
+
+    def encode_one(self, cloud: np.ndarray) -> np.ndarray:
+        from neural_spectral_codec_tpu.ops.ring_path import (
+            encode_structured, infer_ring_ids_from_sweep)
+        cloud = np.asarray(cloud)
+        if len(cloud) == 0:
+            return super().encode_one(cloud)
+        rids = infer_ring_ids_from_sweep(cloud)
+        return encode_structured(cloud, rids, float(self.alpha),
+                                 self.config)
+
+
 class NeuralSpectralCodecPipeline:
     """Config-driven wiring of all components (reference pipeline.py:52-95)."""
 
@@ -141,7 +166,9 @@ class NeuralSpectralCodecPipeline:
             max_range=enc.get("max_range", 80.0),
             min_range=enc.get("min_range", 1.0),
         )
-        self.encoder = BatchEncoder(
+        encoder_cls = (RingMajorBatchEncoder if enc.get("ring_major")
+                       else BatchEncoder)
+        self.encoder = encoder_cls(
             self.encoder_config,
             alpha=enc.get("alpha", 2.0),
             max_points=enc.get("max_points", 131072),

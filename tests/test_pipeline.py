@@ -329,3 +329,40 @@ def test_online_survives_pathological_scans(tmp_path):
     for kf in pipe.selector.keyframes:
         assert np.isfinite(kf.descriptor).all()
         np.testing.assert_allclose(kf.descriptor.sum(), 1.0, atol=1e-4)
+
+
+def test_ring_major_encoder_matches_general(tmp_path):
+    """encoding.ring_major routes scans through the ring fast path with
+    descriptors identical to the default encoder's."""
+    import numpy as np
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        make_structured_ring_scans)
+    from neural_spectral_codec_tpu.pipeline import (
+        BatchEncoder, RingMajorBatchEncoder)
+    from neural_spectral_codec_tpu.ops.spectral import SpectralEncoderConfig
+
+    cfg = SpectralEncoderConfig(use_pallas=False)
+    scans = make_structured_ring_scans(3, 16, 200, cfg.projection, seed=21,
+                                       dropout=0.1)
+    clouds = []
+    for s in scans:
+        flat = s.reshape(-1, 4)
+        clouds.append(flat[~np.all(np.isnan(flat), axis=1)])
+    base = BatchEncoder(cfg, max_points=8192)
+    ring = RingMajorBatchEncoder(cfg, max_points=8192)
+    d_base = base.encode(clouds)
+    d_ring = ring.encode(clouds)
+    np.testing.assert_array_equal(d_ring, d_base)
+    # arbitrary-order cloud: exact fallback
+    rng = np.random.default_rng(0)
+    shuf = clouds[0][rng.permutation(len(clouds[0]))]
+    np.testing.assert_array_equal(ring.encode_one(shuf),
+                                  base.encode_one(shuf))
+
+
+def test_pipeline_honors_ring_major_config():
+    from neural_spectral_codec_tpu.pipeline import (
+        NeuralSpectralCodecPipeline, RingMajorBatchEncoder)
+    pipe = NeuralSpectralCodecPipeline(
+        {"encoding": {"ring_major": True}})
+    assert isinstance(pipe.encoder, RingMajorBatchEncoder)
