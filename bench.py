@@ -43,7 +43,12 @@ import numpy as np
 N_RINGS = 64
 PER_RING = 2088           # HDL-64E azimuth returns per ring
 FULL_N = N_RINGS * PER_RING          # 133,632
-BENCH_B = 64
+# batch sweep (2026-08-17, docs/performance.md): per-scan cost is LOWEST at
+# B=8 (~44 us vs ~55 at B=64 for the ring path; the general sorted path
+# prefers it too) - smaller working sets alternate better between the XLA
+# keys fusion and the Mosaic grid. Throughput is still sustained: the
+# timing loop keeps the device busy end to end.
+BENCH_B = 8
 
 
 def make_random_scans(batch, n_points, seed=0):
@@ -119,7 +124,7 @@ def main():
 
     sps, us = measure(
         lambda x: encode_points_ring_batch(x, alpha, config, rows),
-        x, BENCH_B, iters=20)
+        x, BENCH_B, iters=40)
     print(f"FULL density N={FULL_N} ring-structured stream (ring path): "
           f"{us:.2f} us/scan = {sps:.0f} scans/s "
           f"({sps * FULL_N * 16 / 1e9:.1f} GB/s input stream)",
