@@ -33,7 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS = 8
+# rings per Pallas program: per-op fixed overheads dominate at narrow
+# blocks (measured 34 us/scan at 8 rows -> 21 at 64; flat beyond), and 64
+# rows = one full HDL-64E scan per program, so the online B=1 path wastes
+# no padding. VMEM at (64, 2112) x ~8 live arrays is ~4 MB.
+_ROWS = 64
 
 
 def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
