@@ -58,7 +58,12 @@ def test_dryrun_multichip_clear_error_when_backend_busy():
     env.pop("XLA_FLAGS", None)  # single CPU device
     repo = str(Path(__file__).resolve().parent.parent)
     code = (
-        "import jax, jax.numpy as jnp\n"
+        # env-only CPU forcing still lets the ambient axon plugin
+        # initialize (and hang if the tunnel is unhealthy) — force via
+        # config too, like tests/conftest.py does
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
         "jnp.zeros(1).block_until_ready()\n"  # initialize 1-device backend
         "import __graft_entry__ as g\n"
         "try:\n"
