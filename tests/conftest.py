@@ -30,7 +30,19 @@ import jax  # noqa: E402
 # update below works any time before backend initialization.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Cache WRITES are disabled by default in full-suite runs: on this
+# toolchain, PjRt `executable.serialize()` segfaults deterministically
+# after a long-lived process has compiled a few hundred executables
+# (reproduced at the same test in four consecutive full-suite runs,
+# independent of kernel code; per-file processes never crash). Reads
+# stay enabled — warm the cache by running test files individually with
+# NSC_TEST_CACHE_WRITES=1 (short processes serialize fine):
+#   for f in tests/test_*.py; do NSC_TEST_CACHE_WRITES=1 \
+#       python -m pytest $f -q; done
+if os.environ.get("NSC_TEST_CACHE_WRITES"):
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+else:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)
 
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.default_backend()
