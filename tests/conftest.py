@@ -74,3 +74,14 @@ def synthetic_scan(rng, n_points=20000, max_r=60.0):
 @pytest.fixture
 def scan(rng):
     return synthetic_scan(rng)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Keep the executable population per module bounded: long-lived
+    full-suite processes segfault inside XLA compile/serialize once a few
+    hundred executables have accumulated (toolchain bug, see the cache
+    note above). Warm disk-cache reads make the recompiles cheap."""
+    yield
+    import jax
+    jax.clear_caches()
