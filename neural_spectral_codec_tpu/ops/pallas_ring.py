@@ -53,6 +53,12 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
     one = jnp.ones((_ROWS, p), jnp.float32)
     zero = jnp.zeros((_ROWS, p), jnp.float32)
 
+    # first RAW-valid position (before fill): the circular run boundary
+    # sits here when leading holes adopt the tail key — fold events at
+    # or before it are phantom wrap events (see _ring_run_starts)
+    first_valid = jnp.min(jnp.where(key >= 0.0, colf32, float(p)),
+                          axis=1, keepdims=True)
+
     # 1. circular jump-fill: holes (key < 0) adopt the nearest valid key
     #    to the left
     sh = 1
@@ -68,7 +74,8 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
                        one, zero)
 
     # 3. per-position fold index from event-position min-reduces
-    noninc = (startf > 0.5) & (col > 0) & (key <= prev)
+    noninc = ((startf > 0.5) & (colf32 > first_valid)
+              & (key <= prev))
     f = zero
     big = float(p)
     lo = jnp.full((_ROWS, 1), -1.0, jnp.float32)

@@ -118,6 +118,13 @@ def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
     col = jax.lax.broadcasted_iota(jnp.int32, key.shape, key.ndim - 1)
     colf32 = col.astype(jnp.float32)
 
+    # position of the first RAW-valid point (before fill): leading holes
+    # adopt the circular tail key, so the circular run boundary sits at
+    # the first valid position, not necessarily at column 0 — fold
+    # events at or before it would be phantom wrap events
+    first_valid = jnp.min(jnp.where(key >= 0.0, colf32, float(P)),
+                          axis=-1, keepdims=True)
+
     # 1. circular jump-fill: holes adopt the nearest valid key to the left
     sh = 1
     while sh < P:
@@ -139,7 +146,7 @@ def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
     #    #{events at positions <= p}, clamped at n_folds (clamped runs
     #    are dropped below and cannot merge with kept ones — their
     #    folded keys differ from every kept run's)
-    noninc = start & (col > 0) & (key <= prev)
+    noninc = start & (colf32 > first_valid) & (key <= prev)
     f = jnp.zeros(key.shape, jnp.float32)
     big = float(P)
     lo = jnp.full(key.shape[:-1] + (1,), -1.0)

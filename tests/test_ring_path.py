@@ -268,3 +268,70 @@ def test_infer_ring_ids_from_kitti_order_stream():
         jnp.asarray(pad_points(shuf, 16384)[None]), jnp.float32(2.0),
         enc))[0]
     np.testing.assert_array_equal(got_s, ref_s)
+
+
+def test_ring_path_three_folds_bitexact():
+    """n_folds=3: rings with TWO azimuth restarts (e.g. a sensor packet
+    split) still reproduce the general scatter-min exactly — the fold
+    min-reduce loop and folded-key run identity are n_folds-generic."""
+    cfg = CFG
+    R, P = 16, 384
+    rng = np.random.default_rng(31)
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        ring_elevation_centers)
+    el = ring_elevation_centers(cfg, R)
+    # each ring = three monotone azimuth segments (two non-increase
+    # events), each segment sweeping a random arc
+    pts = np.zeros((2, R, P, 4), np.float32)
+    for b in range(2):
+        for r in range(R):
+            segs = []
+            for s in range(3):
+                arc = rng.uniform(1.5, 4.0)
+                # azimuth BINS live in arctan2+pi space, which wraps at
+                # theta=pi — pick segments that stay within one bin-space
+                # revolution so each is truly monotone in bin space
+                b0 = rng.uniform(0, 2 * np.pi - arc)
+                segs.append(b0 - np.pi + np.linspace(0, arc, P // 3))
+            az = np.concatenate(segs)[:P]
+            az = np.pad(az, (0, P - len(az)))
+            rr = rng.uniform(2.0, 70.0, P)
+            ce, se = np.cos(el[r]), np.sin(el[r])
+            pts[b, r] = np.stack([rr * ce * np.cos(az),
+                                  rr * ce * np.sin(az),
+                                  rr * se * np.ones(P),
+                                  np.zeros(P)], axis=-1)
+    drop = rng.random(pts.shape[:3]) < 0.1
+    pts[drop] = np.nan
+    rep = ring_structure_report(pts, cfg, ROWS[:R])
+    assert rep["max_folds_needed"] <= 3, rep
+    img_ring = np.asarray(project_rings_batch(jnp.asarray(pts), cfg,
+                                              ROWS[:R], n_folds=3))
+    img_gen = np.asarray(project_points_batch(
+        jnp.asarray(_flatten(pts)), cfg))
+    np.testing.assert_array_equal(img_ring[:, :R], img_gen[:, :R])
+
+    # interpret-mode kernel parity at n_folds=3
+    from neural_spectral_codec_tpu.ops.pallas_ring import ring_fold_pallas
+    from neural_spectral_codec_tpu.ops.range_image import _densify_xla
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        _ring_keys, _ring_run_starts)
+    vals, key = _ring_keys(jnp.asarray(pts), cfg)
+    k2 = key.reshape(2 * R, P)
+    v2 = vals.reshape(2 * R, P)
+    width = 3 * cfg.n_azimuth
+    got = np.asarray(ring_fold_pallas(k2, v2, cfg.n_azimuth, 3,
+                                      interpret=True))
+    col_f, m = _ring_run_starts(k2, v2, cfg.n_azimuth, 3)
+    col_f = col_f.reshape(2, R, P)
+    m = m.reshape(2, R, P)
+    ring_base = (jnp.arange(R, dtype=jnp.float32)
+                 * float(width))[None, :, None]
+    pix = jnp.where(col_f >= 0.0, col_f + ring_base,
+                    float(1 << 29)).astype(jnp.int32)
+    ref = np.asarray(_densify_xla(
+        pix.reshape(2, R * P),
+        jnp.where(col_f >= 0.0, m, 0.0).reshape(2, R * P),
+        (col_f >= 0.0).reshape(2, R * P),
+        R * width)).reshape(2 * R, width)
+    np.testing.assert_array_equal(got[:, :width], ref)
