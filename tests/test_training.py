@@ -350,3 +350,29 @@ def test_find_revisit_queries_chunked_matches_direct(rng):
     got = find_revisit_queries(pos, 5.0, 30, row_chunk=64)
     np.testing.assert_array_equal(got, want)
     assert len(got) > 50   # the loop trajectory must actually revisit
+
+
+def test_miner_chunked_crosses_boundary(rng):
+    """Mining with n > chunk (2048) exercises the multi-chunk path with
+    hoisted device transfers; hard negatives must still be the exact
+    masked argmin-W1 for anchors in BOTH chunks (regression for the
+    per-chunk re-upload fix — behavior, not timing)."""
+    n = 2200
+    poses = loop_trajectory(n, radius=80.0, loops=9.0)
+    desc = rng.uniform(0, 1, (n, 16)).astype(np.float32)
+    desc /= desc.sum(1, keepdims=True)
+    m = TripletMiner(mining_strategy="hard")
+    tri = m.mine_triplets(desc, poses)
+    assert len(tri) > 0
+    pos = poses[:, :3, 3]
+    by_anchor = {int(a): (int(p), int(ng)) for a, p, ng in tri}
+    # sample anchors straddling the 2048 boundary
+    picks = [a for a in range(2030, 2070) if a in by_anchor][:10]
+    assert picks, "no valid anchors near the chunk boundary"
+    for a in picks:
+        _, neg = by_anchor[a]
+        d = np.linalg.norm(pos - pos[a], axis=1)
+        gap = np.abs(np.arange(n) - a)
+        cand = np.where((d >= 10) & (d <= 50) & (gap >= 30))[0]
+        w1 = oracle_wasserstein_batch(desc[a], desc[cand])
+        assert neg == cand[np.argmin(w1)]
