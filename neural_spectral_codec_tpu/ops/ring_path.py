@@ -9,9 +9,9 @@ order; HeLiPR even carries an explicit ``ring`` field). For input shaped
 ``(B, n_rings, per_ring, 3|4)`` satisfying the structure contract below,
 the per-pixel scatter-min (reference range_image.py:200-214) reduces to
 segmented CIRCULAR run-mins along each ring — log2(per_ring) roll+select
-stages on the VPU, zero sorts, zero scatters — followed by the same
-VMEM-resident compaction/expansion used by the general path
-(ops/pallas_compact.py / pallas_densify.py).
+stages on the VPU, zero sorts, zero scatters — with per-ring compaction
+and expansion fused into the SAME VMEM kernel (ops/pallas_ring.py) on
+TPU; the XLA chain below is the CPU/test fallback.
 
 Structure contract (verified by :func:`ring_structure_report`; violating
 inputs must use the general path — the caller decides, typically via one
@@ -36,7 +36,10 @@ Algorithm (all fixed-shape, jit-compatible):
      point's run carrying value +inf;
   3. per-position fold index f (inclusive count of linear non-increase
      events, found with ``n_folds`` min-reduces — at most n_folds-1
-     events per contract ring); run identity is the FOLDED key
+     events per contract ring; events at or before the first RAW-valid
+     position are excluded — leading holes adopt the circular tail key,
+     so the circular boundary comparison happens there, not at column
+     0); run identity is the FOLDED key
      ``azbin + 360·f``, which is non-decreasing along the ring, so the
      run-min doubling needs no window-uniformity carry;
   4. segmented run-min on folded keys: each start carries the exact min
@@ -44,9 +47,10 @@ Algorithm (all fixed-shape, jit-compatible):
      pieces whose fold-min reunites to the exact circular min); start
      targets are strictly increasing per ring, and the fold-min at the
      end restores exact scatter-min semantics;
-  5. per-ring compaction → pairwise merges → butterfly expansion into the
-     (R, n_folds·360) folded image via the existing Pallas kernels (one
-     HBM read of the run arrays, one image write), fold-min, place rows.
+  5. per-ring rank prefix → leftward compaction butterfly → rightward
+     expansion into the ring's own (n_folds·360)-wide folded row — all
+     inside the one VMEM kernel on TPU — then fold-min and static row
+     placement.
 
 Exactness: identical output to ``project_points_batch`` for any input
 satisfying C1-C3 (tests/test_ring_path.py proves bit-equality on CPU and
