@@ -21,7 +21,9 @@ never interact (they own disjoint image rows).
 Mosaic-safety (CLAUDE.md): every rolled array rides as f32 (keys, mins,
 0/1 flags, displacements — all < 2^24, exact); ``pltpu.roll`` is
 circular; leftward rolls are expressed as ``roll(x, P − s)``; flags ride
-inside payloads as +1 sentinels (one fewer rolled array per stage).
+inside payloads as +1 sentinels and the static compaction displacement
+packs with the expansion payload, so each butterfly rolls only TWO
+arrays per stage.
 """
 
 from __future__ import annotations
