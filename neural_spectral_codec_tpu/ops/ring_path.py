@@ -60,7 +60,6 @@ the TPU run is covered by the same parity bars as the general path).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Sequence, Tuple
 
 import jax
