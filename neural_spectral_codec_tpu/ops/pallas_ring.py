@@ -68,12 +68,14 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
         key = jnp.where(key < 0.0, pltpu.roll(key, sh, axis=1), key)
         sh *= 2
 
-    # 2. run starts on raw keys; position 0 is ALWAYS a start when valid
-    #    (wrap-run head pieces and circularly-constant rings — see
-    #    ring_path._ring_run_starts)
+    # 2. run starts on raw keys; the first RAW-valid position is ALWAYS
+    #    a start (wrap-run head pieces and circularly-constant rings);
+    #    leading holes never emit starts — forcing column 0 instead
+    #    creates a phantom duplicate of the final run's target on
+    #    zero-wrap rings (see ring_path._ring_run_starts)
     prev = pltpu.roll(key, 1, axis=1)
-    startf = jnp.where(((key != prev) | (col == 0)) & (key >= 0.0),
-                       one, zero)
+    startf = jnp.where(((key != prev) | (colf32 == first_valid))
+                       & (key >= 0.0), one, zero)
 
     # 3. per-position fold index from event-position min-reduces
     noninc = ((startf > 0.5) & (colf32 > first_valid)

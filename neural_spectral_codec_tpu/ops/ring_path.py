@@ -135,14 +135,23 @@ def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
         sh *= 2
 
     # 2. run starts on RAW keys (positions where the key changes).
-    #    Position 0 is ALWAYS a start when valid: a wrap-around run whose
-    #    head piece begins mid-array has no key change at 0, yet its
+    #    The FIRST RAW-VALID position is ALWAYS a start: a wrap-around
+    #    run whose head piece begins there has no key change (leading
+    #    holes adopt the circular tail key through the fill), yet its
     #    head-piece min must be emitted (fold 0) — the tail start only
     #    carries the tail piece under folded-key run identity. This also
-    #    covers circularly-constant rings. Pure-hole head pieces are
-    #    dropped by the finite-m guard below.
+    #    covers circularly-constant rings. Forcing the start at column 0
+    #    instead would be WRONG when column 0 is a hole: the filled slot
+    #    carries the tail key at fold 0, and on a zero-wrap ring that
+    #    aliases the real final run's folded key — the circular roll in
+    #    the run-min doubling can then hand the phantom a finite min
+    #    (whenever a power-of-two offset lands inside the final run),
+    #    emitting a duplicate target that breaks the strictly-increasing
+    #    precondition of the compaction/expansion butterflies. Leading
+    #    holes therefore never emit starts (their rings' circular
+    #    boundary sits at first_valid).
     prev = jnp.roll(key, 1, axis=-1)
-    start = ((key != prev) | (col == 0)) & (key >= 0.0)
+    start = ((key != prev) | (colf32 == first_valid)) & (key >= 0.0)
 
     # 3. per-position fold index via event-position reduces: event k's
     #    position is the k-th linear non-increase among starts; f[p] =
@@ -436,18 +445,16 @@ def infer_row_of_ring(rings: np.ndarray,
     return rows
 
 
-def encode_structured(points: np.ndarray, ring_ids: np.ndarray, alpha,
-                      config, per_ring: Optional[int] = None) -> np.ndarray:
-    """Host convenience: encode ONE flat cloud through the ring fast
-    path when its ring structure satisfies the contract, falling back to
-    the general sorted path otherwise. Always exact — the fallback (and
-    the contract checks) guarantee output equals
-    ``ops.spectral.encode_points_batch`` on the flat cloud."""
-    import jax.numpy as jnp
-
-    from neural_spectral_codec_tpu.ops.range_image import pad_points
-    from neural_spectral_codec_tpu.ops.spectral import encode_points_batch
-
+def prepare_structured(points: np.ndarray, ring_ids: np.ndarray, config,
+                       per_ring: Optional[int] = None):
+    """Host-side half of :func:`encode_structured`: bucket a flat cloud
+    into ring-major layout and verify the structure contract (C1-C3 plus
+    the fold budget). Returns ``(rings, rows)`` — a NaN-padded
+    128-aligned ``(R, Ppad, 4)`` array and the strictly-increasing row
+    tuple — when the ring fast path applies, else ``None`` (callers fall
+    back to the exact general sorted path). Split out so batch encoders
+    can group prepared scans into fixed-shape device batches
+    (pipeline.RingMajorBatchEncoder)."""
     proj = config.projection
     rings = points_to_rings(points, ring_ids, per_ring=per_ring)
     rows = infer_row_of_ring(rings, proj)
@@ -465,14 +472,33 @@ def encode_structured(points: np.ndarray, ring_ids: np.ndarray, alpha,
         ok = ok and rings.shape[0] * rings.shape[1] >= len(points)
         counts = np.bincount(np.asarray(ring_ids).astype(np.int64))
         ok = ok and counts.max() <= rings.shape[1]
-    if ok:
-        pp = -(-rings.shape[1] // 128) * 128
-        if pp != rings.shape[1]:
-            rings = np.pad(rings, ((0, 0), (0, pp - rings.shape[1]),
-                                   (0, 0)), constant_values=np.nan)
+    if not ok:
+        return None
+    pp = -(-rings.shape[1] // 128) * 128
+    if pp != rings.shape[1]:
+        rings = np.pad(rings, ((0, 0), (0, pp - rings.shape[1]),
+                               (0, 0)), constant_values=np.nan)
+    return rings, tuple(int(r) for r in rows)
+
+
+def encode_structured(points: np.ndarray, ring_ids: np.ndarray, alpha,
+                      config, per_ring: Optional[int] = None) -> np.ndarray:
+    """Host convenience: encode ONE flat cloud through the ring fast
+    path when its ring structure satisfies the contract, falling back to
+    the general sorted path otherwise. Always exact — the fallback (and
+    the contract checks) guarantee output equals
+    ``ops.spectral.encode_points_batch`` on the flat cloud."""
+    import jax.numpy as jnp
+
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    from neural_spectral_codec_tpu.ops.spectral import encode_points_batch
+
+    prep = prepare_structured(points, ring_ids, config, per_ring=per_ring)
+    if prep is not None:
+        rings, rows = prep
         return np.asarray(encode_points_ring_batch(
             jnp.asarray(rings[None]), jnp.float32(alpha), config,
-            tuple(int(r) for r in rows)))[0]
+            rows))[0]
     return np.asarray(encode_points_batch(
         jnp.asarray(pad_points(np.asarray(points), 1 << int(np.ceil(
             np.log2(max(len(points), 64)))))[None]),

@@ -125,7 +125,7 @@ def test_ring_path_fold_overflow_drops_not_corrupts():
     pts = make_structured_ring_scans(1, 64, 128, cfg, seed=7)
     pts[0, 0] = ring
     rep = ring_structure_report(pts, cfg, ROWS)
-    assert not rep["ok"] or rep["max_folds_needed"] > 2 or True
+    assert rep["max_folds_needed"] > 2, rep
     img = np.asarray(project_rings_batch(jnp.asarray(pts), cfg, ROWS))
     gen = np.asarray(project_points_batch(jnp.asarray(_flatten(pts)), cfg))
     # rows from conforming rings still match exactly
@@ -222,6 +222,89 @@ def test_encode_structured_falls_back_on_bad_structure():
     d_gen = np.asarray(encode_points_batch(
         jnp.asarray(pad_like(flat))[None], jnp.float32(2.0), enc))[0]
     np.testing.assert_array_equal(d, d_gen)
+
+
+def _leading_hole_ring(ridx, n_holes, last_bin, last_start, P, seed):
+    """Contract-valid ring with LEADING holes, strictly increasing bins,
+    and a final long run of ``last_bin`` starting at ``last_start``
+    (chosen so a power-of-two offset from column 0 lands inside it)."""
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        ring_elevation_centers)
+    rng = np.random.default_rng(seed)
+    el = ring_elevation_centers(CFG, 64)[ridx]
+    bins = np.empty(P)
+    bins[n_holes:last_start] = np.sort(rng.choice(
+        np.arange(1, last_bin), size=last_start - n_holes, replace=True))
+    bins[last_start:] = last_bin
+    az = (bins + 0.5) / 360.0 * 2 * np.pi - np.pi
+    r = rng.uniform(5.0, 50.0, P)
+    ring = np.stack([r * np.cos(el) * np.cos(az),
+                     r * np.cos(el) * np.sin(az),
+                     r * np.sin(el) * np.ones(P), np.zeros(P)],
+                    axis=-1).astype(np.float32)
+    ring[:n_holes] = np.nan
+    return ring
+
+
+def test_leading_holes_no_phantom_start():
+    """Regression (round-4 advisor finding): a zero-wrap ring whose first
+    slots are invalid must NOT emit a phantom run start at column 0. The
+    filled column-0 slot carries the circular tail key at fold 0, which
+    on a no-wrap ring aliases the real final run's folded key; when a
+    power-of-two offset lands inside that run, the circular run-min
+    doubling hands the phantom a finite min and the duplicate target
+    breaks the strictly-increasing precondition of the densify
+    butterflies (observed: wrong pixels incl. unrelated columns)."""
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        _ring_keys, _ring_run_starts)
+
+    P = 256
+    # deterministic multi-ring instance that corrupted pre-fix (1 wrong
+    # pixel at seed 1 of the discovery sweep)
+    rng = np.random.default_rng(1001)
+    pts = make_structured_ring_scans(1, 64, P, CFG, seed=1, dropout=0.05)
+    for ridx in rng.choice(64, size=8, replace=False):
+        pts[0, ridx] = _leading_hole_ring(
+            ridx, int(rng.integers(1, 8)), int(rng.integers(200, 359)),
+            int(rng.choice([128, 130, 160, 192])), P, 100 + ridx)
+    rep = ring_structure_report(pts, CFG, ROWS)
+    assert rep["ok"] and rep["max_folds_needed"] <= 2, rep
+
+    img_ring = np.asarray(project_rings_batch(jnp.asarray(pts), CFG, ROWS))
+    img_gen = np.asarray(project_points_batch(
+        jnp.asarray(_flatten(pts)), CFG))
+    np.testing.assert_array_equal(img_ring, img_gen)
+
+    # the precondition itself: per-ring start targets strictly increase,
+    # and leading-hole columns never emit starts
+    one = _leading_hole_ring(0, 4, 300, 128, P, 7)
+    vals, key = _ring_keys(jnp.asarray(one[None, None]), CFG)
+    col_f, _ = _ring_run_starts(key.reshape(1, P), vals.reshape(1, P),
+                                CFG.n_azimuth, 2)
+    col_f = np.asarray(col_f)[0]
+    assert col_f[0] < 0, "phantom start at column 0"
+    tg = col_f[col_f >= 0]
+    assert np.all(np.diff(tg) > 0), "duplicate folded targets"
+
+    # interpret-mode kernel parity on the same leading-hole input
+    from neural_spectral_codec_tpu.ops.pallas_ring import ring_fold_pallas
+    from neural_spectral_codec_tpu.ops.range_image import _densify_xla
+    vals, key = _ring_keys(jnp.asarray(pts), CFG)
+    k2 = key.reshape(64, P)
+    v2 = vals.reshape(64, P)
+    width = 2 * CFG.n_azimuth
+    got = np.asarray(ring_fold_pallas(k2, v2, CFG.n_azimuth, 2,
+                                      interpret=True))
+    col_f, m = _ring_run_starts(k2, v2, CFG.n_azimuth, 2)
+    ring_base = (jnp.arange(64, dtype=jnp.float32) * float(width))[:, None]
+    pix = jnp.where(col_f >= 0.0, col_f + ring_base,
+                    float(1 << 29)).astype(jnp.int32)
+    ref = np.asarray(_densify_xla(
+        pix.reshape(1, 64 * P),
+        jnp.where(col_f >= 0.0, m, 0.0).reshape(1, 64 * P),
+        (col_f >= 0.0).reshape(1, 64 * P),
+        64 * width)).reshape(64, width)
+    np.testing.assert_array_equal(got[:, :width], ref)
 
 
 def test_checker_flags_off_row_points():
