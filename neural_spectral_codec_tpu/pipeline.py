@@ -124,17 +124,61 @@ class RingMajorBatchEncoder(BatchEncoder):
     (ops/ring_path.encode_structured) after host-side ring-id recovery,
     with the structure contract verified per scan and an EXACT fallback
     to the general sorted path — output always equals the base encoder's
-    (ops/ring_path.py docstring; tests/test_pipeline.py)."""
+    (ops/ring_path.py docstring; tests/test_pipeline.py). Clouds larger
+    than ``max_points`` are truncated exactly like the base encoder's
+    ``pad_points``.
+
+    ``encode`` stacks contract-passing scans into fixed-shape
+    ``(RING_B, R, Ppad, 4)`` device batches — RING_B = 8 is the measured
+    per-scan cost optimum of the ring kernel (docs/performance.md) —
+    grouped by (row assignment, ring shape) so one executable serves
+    each sensor geometry; stragglers are padded with NaN scans
+    (transparent: batch entries are independent) and contract-violating
+    scans fall back to the base batch path."""
+
+    RING_B = 8
 
     def encode(self, clouds: Sequence[np.ndarray]) -> np.ndarray:
-        out = [self.encode_one(c) for c in clouds]
-        return np.stack(out) if out else np.zeros(
-            (0, self.config.output_dim), np.float32)
+        import jax.numpy as jnp
+        from neural_spectral_codec_tpu.ops.ring_path import (
+            encode_points_ring_batch, infer_ring_ids_from_sweep,
+            prepare_structured)
+
+        out = np.zeros((len(clouds), self.config.output_dim), np.float32)
+        groups: Dict = {}
+        fallback: List[int] = []
+        for i, cloud in enumerate(clouds):
+            c = np.asarray(cloud)[:self.max_points]
+            prep = None
+            if len(c):
+                prep = prepare_structured(
+                    c, infer_ring_ids_from_sweep(c), self.config)
+            if prep is None:
+                fallback.append(i)
+            else:
+                rings, rows = prep
+                groups.setdefault((rows, rings.shape), []).append(
+                    (i, rings))
+        for (rows, shape), items in groups.items():
+            for s in range(0, len(items), self.RING_B):
+                chunk = items[s:s + self.RING_B]
+                batch = np.full((self.RING_B,) + shape, np.nan, np.float32)
+                for j, (_, rings) in enumerate(chunk):
+                    batch[j] = rings
+                d = np.asarray(encode_points_ring_batch(
+                    jnp.asarray(batch), self.alpha, self.config, rows))
+                for j, (i, _) in enumerate(chunk):
+                    out[i] = d[j]
+        if fallback:
+            d = super().encode([np.asarray(clouds[i]) for i in fallback])
+            for j, i in enumerate(fallback):
+                out[i] = d[j]
+        return out
 
     def encode_one(self, cloud: np.ndarray) -> np.ndarray:
         from neural_spectral_codec_tpu.ops.ring_path import (
             encode_structured, infer_ring_ids_from_sweep)
-        cloud = np.asarray(cloud)
+        cloud = np.asarray(cloud)[:self.max_points]
         if len(cloud) == 0:
             return super().encode_one(cloud)
         rids = infer_ring_ids_from_sweep(cloud)

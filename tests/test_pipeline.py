@@ -360,6 +360,55 @@ def test_ring_major_encoder_matches_general(tmp_path):
                                   base.encode_one(shuf))
 
 
+def test_ring_major_batched_encode_mixed_and_truncation():
+    """Round-4: RingMajorBatchEncoder.encode stacks contract-passing
+    scans into fixed-shape RING_B device batches. The batched outputs
+    must equal encode_one's exactly, a mixed list (ring-structured +
+    shuffled-fallback + differing geometries) must route each scan
+    correctly, and clouds above max_points must be truncated exactly
+    like the base encoder (advisor round-3 low finding)."""
+    import numpy as np
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        make_structured_ring_scans)
+    from neural_spectral_codec_tpu.pipeline import (
+        BatchEncoder, RingMajorBatchEncoder)
+    from neural_spectral_codec_tpu.ops.spectral import SpectralEncoderConfig
+
+    cfg = SpectralEncoderConfig(use_pallas=False)
+    rng = np.random.default_rng(3)
+    clouds = []
+    # 10 scans of one geometry (16 rings) -> one group, two RING_B chunks
+    for s in make_structured_ring_scans(10, 16, 200, cfg.projection,
+                                        seed=30, dropout=0.1):
+        flat = s.reshape(-1, 4)
+        clouds.append(flat[~np.all(np.isnan(flat), axis=1)])
+    # a second geometry (8 rings, different per-ring count) -> own group
+    for s in make_structured_ring_scans(2, 8, 300, cfg.projection,
+                                        seed=31, dropout=0.0):
+        clouds.append(s.reshape(-1, 4))
+    # two shuffled clouds -> general-path fallback
+    for i in (0, 3):
+        clouds.append(clouds[i][rng.permutation(len(clouds[i]))])
+    order = rng.permutation(len(clouds))
+    clouds = [clouds[i] for i in order]
+
+    ring = RingMajorBatchEncoder(cfg, max_points=8192)
+    d_batch = ring.encode(clouds)
+    d_one = np.stack([ring.encode_one(c) for c in clouds])
+    np.testing.assert_array_equal(d_batch, d_one)
+
+    # truncation parity: a cloud above max_points must match the base
+    # encoder's pad_points truncation semantics
+    small = RingMajorBatchEncoder(cfg, max_points=1024)
+    base = BatchEncoder(cfg, max_points=1024)
+    big = clouds[0]
+    assert len(big) > 1024
+    np.testing.assert_array_equal(small.encode_one(big),
+                                  base.encode_one(big))
+    np.testing.assert_array_equal(small.encode([big])[0],
+                                  base.encode_one(big))
+
+
 def test_pipeline_honors_ring_major_config():
     from neural_spectral_codec_tpu.pipeline import (
         NeuralSpectralCodecPipeline, RingMajorBatchEncoder)
