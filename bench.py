@@ -32,13 +32,31 @@ synchronizes everything. Two-point form (t(N) - t(1)) / (N - 1) cancels
 the ~30 ms constant dispatch+fetch cost per jit call on the tunnel.
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+
+Robustness (round 4, after BENCH_r03 died on a transiently-unavailable
+axon lease at first backend touch): the measurement runs in a CHILD
+process and the parent retries with bounded backoff — a fresh process
+per attempt because JAX caches backend-init failures in-process. On
+final failure the parent still prints one structured JSON line (value 0
++ ``error``) and exits nonzero, so the driver records a diagnosis
+instead of a null parse.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+ATTEMPTS = 4
+# Per-attempt timeouts: the first run may have to COMPILE every program
+# (~6 heavyweight executables; Mosaic ring kernels take minutes cold) —
+# killing it mid-compile can wedge the tunnel lease (CLAUDE.md), so give
+# attempt 1 real headroom. Retries run cache-warm and need far less.
+ATTEMPT_TIMEOUT_S = (1500, 600, 600, 600)
+BACKOFFS_S = (20, 45, 90)        # between attempts
 
 N_RINGS = 64
 PER_RING = 2088           # HDL-64E azimuth returns per ring
@@ -148,5 +166,52 @@ def main():
     }))
 
 
+def supervise():
+    """Run main() in retried child processes (see module docstring)."""
+    last_tail = ""
+    for attempt in range(ATTEMPTS):
+        if attempt:
+            delay = BACKOFFS_S[min(attempt - 1, len(BACKOFFS_S) - 1)]
+            print(f"bench attempt {attempt} failed; retrying in {delay}s",
+                  file=sys.stderr)
+            time.sleep(delay)
+        env = dict(os.environ, NSC_BENCH_CHILD="1")
+        attempt_timeout = ATTEMPT_TIMEOUT_S[
+            min(attempt, len(ATTEMPT_TIMEOUT_S) - 1)]
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=attempt_timeout)
+        except subprocess.TimeoutExpired as e:
+            last_tail = f"attempt timed out after {attempt_timeout}s"
+            if e.stderr:
+                err = e.stderr if isinstance(e.stderr, str) else \
+                    e.stderr.decode("utf-8", "replace")
+                sys.stderr.write(err)
+                if err.strip():
+                    last_tail += " | " + err.strip().splitlines()[-1][-300:]
+            continue
+        sys.stderr.write(proc.stderr)
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line is not None:
+            print(line)
+            return 0
+        tail = (proc.stderr.strip().splitlines() or ["no stderr"])[-1]
+        last_tail = f"rc={proc.returncode}: {tail[-300:]}"
+    print(json.dumps({
+        "metric": "descriptor_extraction_throughput_full_density",
+        "value": 0,
+        "unit": "scans/sec/chip",
+        "vs_baseline": 0,
+        "error": f"all {ATTEMPTS} attempts failed; last: {last_tail}",
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("NSC_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(supervise())
