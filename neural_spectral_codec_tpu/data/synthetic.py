@@ -127,6 +127,62 @@ class SyntheticLoader:
         }
 
 
+def snap_to_beams(points: np.ndarray, n_beams: int,
+                  beam_fov_deg=(-24.8, 2.0)) -> np.ndarray:
+    """Simulate an ``n_beams``-beam spinning LiDAR from a dense cloud:
+    snap each point's elevation angle to the nearest beam elevation
+    (preserving range and azimuth) and drop points outside the sensor's
+    vertical FOV. This is the cross-sensor test harness — e.g. 16 beams
+    over (−15°, 15°) ≈ VLP-16 (HeLiPR's sensor, reference
+    helipr_loader.py) vs 64 beams over (−24.8°, 2°) ≈ HDL-64E (KITTI)."""
+    pts = np.asarray(points)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    rho = np.sqrt(x * x + y * y)
+    el = np.arctan2(z, rho)
+    beams = np.radians(np.linspace(beam_fov_deg[0], beam_fov_deg[1],
+                                   n_beams))
+    snapped = beams[np.abs(el[:, None] - beams[None, :]).argmin(axis=1)]
+    keep = (el >= beams[0] - 0.01) & (el <= beams[-1] + 0.01)
+    out = pts.copy()
+    out[:, 2] = rho * np.tan(snapped)
+    return out[keep]
+
+
+class SensorSimLoader(SyntheticLoader):
+    """Synthetic loader through a simulated n-beam sensor (snap-to-beam +
+    vertical-FOV crop), with optional viewpoint degradation (azimuth
+    wedge + dropout, as DegradedSyntheticLoader). The cross-sensor
+    HeLiPR→KITTI recipe (configs/training_helipr_to_kitti.yaml) is
+    exercised end-to-end by pairing a 16-beam train loader with a
+    64-beam val loader over the same world model
+    (experiments/cross_sensor_uplift.py; train_multi_dataset.py
+    --synthetic-beams)."""
+
+    def __init__(self, *args, n_beams: int = 16,
+                 beam_fov_deg=(-15.0, 15.0), wedge_deg: Optional[float] = None,
+                 dropout: float = 0.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_beams = n_beams
+        self.beam_fov_deg = tuple(beam_fov_deg)
+        self.wedge_deg = wedge_deg
+        self.dropout = dropout
+
+    def __getitem__(self, idx: int) -> dict:
+        item = super().__getitem__(idx)
+        pts = snap_to_beams(item["points"], self.n_beams, self.beam_fov_deg)
+        if self.wedge_deg is not None or self.dropout > 0.0:
+            rng = np.random.default_rng(hash((self.seed, idx, 911)) % (2**31))
+            keep = rng.random(len(pts)) >= self.dropout
+            if self.wedge_deg is not None:
+                az = np.arctan2(pts[:, 1], pts[:, 0])
+                center = rng.uniform(-np.pi, np.pi)
+                delta = np.abs(np.angle(np.exp(1j * (az - center))))
+                keep &= delta < np.deg2rad(self.wedge_deg / 2)
+            pts = pts[keep]
+        item["points"] = pts
+        return item
+
+
 class DegradedSyntheticLoader(SyntheticLoader):
     """Synthetic loader with viewpoint-dependent degradation: each scan
     keeps only a random azimuth wedge plus random point dropout.

@@ -7,26 +7,21 @@ descriptors of different places from the same sensor."""
 import numpy as np
 import jax.numpy as jnp
 
-from neural_spectral_codec_tpu.data.synthetic import SyntheticWorld, loop_trajectory
+from neural_spectral_codec_tpu.data.synthetic import (
+    SensorSimLoader, SyntheticWorld, loop_trajectory, snap_to_beams)
 from neural_spectral_codec_tpu.ops.range_image import pad_points
 from neural_spectral_codec_tpu.ops.spectral import (
     SpectralEncoderConfig, encode_points_batch)
 
 
-def _snap_to_beams(points: np.ndarray, n_beams: int,
-                   elev_range=(-24.8, 2.0)) -> np.ndarray:
-    """Simulate an n-beam spinning LiDAR: snap each point's elevation to
-    the nearest beam elevation, preserving range and azimuth."""
-    x, y, z = points[:, 0], points[:, 1], points[:, 2]
-    r = np.sqrt(x * x + y * y + z * z)
-    rho = np.sqrt(x * x + y * y)
-    el = np.arctan2(z, rho)
-    beams = np.radians(np.linspace(elev_range[0], elev_range[1], n_beams))
-    snapped = beams[np.abs(el[:, None] - beams[None, :]).argmin(axis=1)]
-    keep = (el >= beams[0] - 0.01) & (el <= beams[-1] + 0.01)
-    out = points.copy()
-    out[:, 2] = rho * np.tan(snapped)
-    return out[keep]
+def _snap_to_beams(points, n_beams, elev_range=(-24.8, 2.0)):
+    return snap_to_beams(points, n_beams, elev_range)
+
+
+def _encode(cfg, pts, max_pts=32768):
+    return np.asarray(encode_points_batch(
+        jnp.asarray(pad_points(pts, max_pts))[None], jnp.float32(2.0),
+        cfg))[0]
 
 
 def test_cross_sensor_retrieval():
@@ -52,12 +47,131 @@ def test_cross_sensor_retrieval():
         dense = world.scan(pose, n_points=30000, rng=rng)
         for beams, out in ((64, d64), (16, d16)):
             s = _snap_to_beams(dense, beams)
-            out.append(np.asarray(encode_points_batch(
-                jnp.asarray(pad_points(s, 32768))[None], jnp.float32(2.0),
-                cfg))[0])
+            out.append(_encode(cfg, s))
 
     dmat = np.asarray(wasserstein_matrix(jnp.asarray(np.stack(d64)),
                                          jnp.asarray(np.stack(d16))))
     top1 = dmat.argmin(axis=1)
     accuracy = (top1 == np.arange(len(poses))).mean()
     assert accuracy >= 0.5, (accuracy, top1)
+
+
+def test_cross_sensor_beam_count_sweep():
+    """The recipe must degrade gracefully across the beam-count axis:
+    32- and 128-beam queries against the same 16-beam database stay well
+    above chance, and the same-place cross-sensor distance stays below
+    the mean different-place distance (the margin retrieval runs on)."""
+    from neural_spectral_codec_tpu.ops.wasserstein import wasserstein_matrix
+
+    world = SyntheticWorld(seed=11)
+    poses = loop_trajectory(16, radius=100.0, loops=1.0)
+    rng = np.random.default_rng(1)
+    cfg = SpectralEncoderConfig(n_elevation=16, target_elevation_bins=16)
+
+    db16, q = [], {32: [], 128: []}
+    for pose in poses:
+        dense = world.scan(pose, n_points=24000, rng=rng)
+        db16.append(_encode(cfg, _snap_to_beams(dense, 16)))
+        for beams in q:
+            q[beams].append(_encode(cfg, _snap_to_beams(dense, beams)))
+
+    db = jnp.asarray(np.stack(db16))
+    n = len(poses)
+    for beams, descs in q.items():
+        dmat = np.asarray(wasserstein_matrix(jnp.asarray(np.stack(descs)),
+                                             db))
+        acc = (dmat.argmin(axis=1) == np.arange(n)).mean()
+        assert acc >= 0.5, (beams, acc)
+        same = np.diag(dmat).mean()
+        diff = (dmat.sum() - np.trace(dmat)) / (n * n - n)
+        assert same < diff, (beams, same, diff)
+
+
+def test_cross_sensor_elevation_range_mismatch():
+    """The recipe projects EVERY sensor with the TRAIN sensor's FOV
+    (reference training_helipr_to_kitti.yaml:76 keeps
+    elevation_range=[-15,15] for the KITTI validation split too). A
+    sensor whose native FOV is (−24.8°, 2°) then piles its below-range
+    returns into row 0 (the projector clips bins) and leaves the rows
+    above 2° to the empty-row fill. Two guarantees matter and are pinned
+    here: (a) such descriptors stay valid (finite, sum-to-1), and
+    (b) WITHIN-sensor retrieval under the mismatched config still works
+    — that is what the recipe's KITTI-val recall runs on. (Full
+    cross-FOV retrieval — HDL queries against a VLP database — is NOT
+    promised by the recipe and measured at chance; the comparable-space
+    guarantee needs matching FOVs, see test_cross_sensor_retrieval.)"""
+    from neural_spectral_codec_tpu.ops.wasserstein import wasserstein_matrix
+
+    world = SyntheticWorld(seed=13)
+    poses = loop_trajectory(16, radius=100.0, loops=1.0)
+    rng = np.random.default_rng(2)
+    # recipe config: VLP-16 FOV, applied to an HDL-64E-FOV sensor
+    cfg = SpectralEncoderConfig(n_elevation=16, target_elevation_bins=16,
+                                elevation_range_deg=(-15.0, 15.0))
+
+    db, q = [], []
+    for pose in poses:
+        # two independent scans of the same place (revisit pairs)
+        db.append(_encode(cfg, _snap_to_beams(
+            world.scan(pose, n_points=24000, rng=rng), 64, (-24.8, 2.0))))
+        q.append(_encode(cfg, _snap_to_beams(
+            world.scan(pose, n_points=24000, rng=rng), 64, (-24.8, 2.0))))
+
+    q = np.stack(q)
+    assert np.isfinite(q).all()
+    np.testing.assert_allclose(q.sum(axis=1), 1.0, atol=1e-4)
+    dmat = np.asarray(wasserstein_matrix(jnp.asarray(q),
+                                         jnp.asarray(np.stack(db))))
+    acc = (dmat.argmin(axis=1) == np.arange(len(poses))).mean()
+    # measured 0.56 on this protocol (the FOV clipping costs real signal
+    # — same-place scans see different wedges of row 0's pile-up);
+    # the bar pins "well above the 1/16 chance floor", not excellence
+    assert acc >= 0.4, acc
+
+
+def test_cross_sensor_mixed_database():
+    """A database holding BOTH sensor types (odd places scanned by the
+    16-beam sensor, even by the 64-beam one): queries from the OTHER
+    sensor must still rank their own place first well above chance —
+    descriptors live in one comparable space, not per-sensor islands."""
+    from neural_spectral_codec_tpu.ops.wasserstein import wasserstein_matrix
+
+    world = SyntheticWorld(seed=17)
+    poses = loop_trajectory(16, radius=100.0, loops=1.0)
+    rng = np.random.default_rng(3)
+    cfg = SpectralEncoderConfig(n_elevation=16, target_elevation_bins=16)
+
+    db, queries = [], []
+    for i, pose in enumerate(poses):
+        dense = world.scan(pose, n_points=24000, rng=rng)
+        db_beams, q_beams = (16, 64) if i % 2 else (64, 16)
+        db.append(_encode(cfg, _snap_to_beams(dense, db_beams)))
+        queries.append(_encode(cfg, _snap_to_beams(dense, q_beams)))
+
+    dmat = np.asarray(wasserstein_matrix(jnp.asarray(np.stack(queries)),
+                                         jnp.asarray(np.stack(db))))
+    acc = (dmat.argmin(axis=1) == np.arange(len(poses))).mean()
+    assert acc >= 0.5, acc
+
+
+def test_sensor_sim_loader_contract():
+    """SensorSimLoader emits the standard item dict, is deterministic per
+    (seed, idx), snaps elevations onto exactly n_beams angles, and crops
+    to the sensor FOV."""
+    ld = SensorSimLoader(n_frames=4, seed=5, n_points=8000, n_beams=16,
+                         beam_fov_deg=(-15.0, 15.0))
+    item = ld[2]
+    assert set(item) >= {"points", "pose", "timestamp", "idx"}
+    pts = item["points"]
+    again = ld[2]["points"]
+    np.testing.assert_array_equal(pts, again)
+    el = np.degrees(np.arctan2(pts[:, 2], np.hypot(pts[:, 0], pts[:, 1])))
+    assert el.min() >= -15.0 - 1.0 and el.max() <= 15.0 + 1.0
+    # snapped: elevations take at most n_beams distinct values (fp noise
+    # collapses within 1e-3 deg)
+    uniq = np.unique(np.round(el, 3))
+    assert len(uniq) <= 16
+
+    deg = SensorSimLoader(n_frames=4, seed=5, n_points=8000, n_beams=16,
+                          wedge_deg=180.0, dropout=0.5)
+    assert len(deg[2]["points"]) < len(pts)

@@ -53,6 +53,17 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="Use N synthetic frames instead of datasets "
                              "(smoke testing without KITTI/NCLT on disk)")
+    parser.add_argument("--synthetic-beams", type=int, default=None,
+                        metavar="B",
+                        help="With --synthetic: simulate a B-beam TRAIN "
+                             "sensor (VLP-16-like FOV) — pairs with "
+                             "--synthetic-val-beams for the cross-sensor "
+                             "HeLiPR->KITTI recipe without data on disk")
+    parser.add_argument("--synthetic-val-beams", type=int, default=None,
+                        metavar="B",
+                        help="With --synthetic: simulate a B-beam VAL "
+                             "sensor (HDL-64E-like FOV when B != the "
+                             "train beam count)")
     args = parser.parse_args(argv)
 
     from neural_spectral_codec_tpu.pipeline import (
@@ -69,10 +80,24 @@ def main(argv=None):
     pipeline = NeuralSpectralCodecPipeline(config)
 
     if args.synthetic:
-        from neural_spectral_codec_tpu.data.synthetic import SyntheticLoader
-        train_loaders = [SyntheticLoader(n_frames=args.synthetic, seed=0)]
-        val_loaders = [SyntheticLoader(n_frames=max(args.synthetic // 2, 30),
-                                       seed=1)]
+        from neural_spectral_codec_tpu.data.synthetic import (
+            SensorSimLoader, SyntheticLoader)
+        n_val = max(args.synthetic // 2, 30)
+        if args.synthetic_beams or args.synthetic_val_beams:
+            # cross-sensor recipe on synthetic streams: train sensor is
+            # VLP-16-like (16 beams, ±15°), val sensor HDL-64E-like
+            # (64 beams, −24.8°..2°) unless overridden
+            tb = args.synthetic_beams or 16
+            vb = args.synthetic_val_beams or 64
+            train_loaders = [SensorSimLoader(
+                n_frames=args.synthetic, seed=0, n_beams=tb,
+                beam_fov_deg=(-15.0, 15.0) if tb <= 32 else (-24.8, 2.0))]
+            val_loaders = [SensorSimLoader(
+                n_frames=n_val, seed=1, n_beams=vb,
+                beam_fov_deg=(-15.0, 15.0) if vb <= 32 else (-24.8, 2.0))]
+        else:
+            train_loaders = [SyntheticLoader(n_frames=args.synthetic, seed=0)]
+            val_loaders = [SyntheticLoader(n_frames=n_val, seed=1)]
     else:
         train_loaders = _loaders_from_config(config, "train")
         val_loaders = _loaders_from_config(config, "val")
