@@ -307,6 +307,38 @@ def test_leading_holes_no_phantom_start():
     np.testing.assert_array_equal(got[:, :width], ref)
 
 
+def test_ring_path_fuzz_hole_patterns():
+    """Randomized stress over hole patterns the doubling networks must
+    treat as transparent: leading holes, trailing holes, hole bursts,
+    fully-dropped rings, and wrap-through-hole runs — every instance that
+    passes the structure contract must be bit-identical to the general
+    path."""
+    P = 192
+    for seed in range(6):
+        rng = np.random.default_rng(500 + seed)
+        pts = make_structured_ring_scans(1, 64, P, CFG, seed=seed,
+                                         dropout=0.0)
+        for ridx in range(64):
+            mode = ridx % 4
+            if mode == 0:                       # leading hole burst
+                pts[0, ridx, :rng.integers(1, 24)] = np.nan
+            elif mode == 1:                     # trailing hole burst
+                pts[0, ridx, P - rng.integers(1, 24):] = np.nan
+            elif mode == 2:                     # random dropout, heavy
+                drop = rng.random(P) < 0.4
+                pts[0, ridx, drop] = np.nan
+            # mode 3: untouched clean ring
+        if seed == 3:
+            pts[0, 7] = np.nan                  # fully-dropped ring
+        rep = ring_structure_report(pts, CFG, ROWS)
+        assert rep["ok"] and rep["max_folds_needed"] <= 2, (seed, rep)
+        img_ring = np.asarray(project_rings_batch(jnp.asarray(pts), CFG,
+                                                  ROWS))
+        img_gen = np.asarray(project_points_batch(
+            jnp.asarray(_flatten(pts)), CFG))
+        np.testing.assert_array_equal(img_ring, img_gen, err_msg=f"seed {seed}")
+
+
 def test_checker_flags_off_row_points():
     pts = make_structured_ring_scans(1, 64, 128, CFG, seed=8)
     # move one ring's points to a different elevation than its row claims
