@@ -223,6 +223,65 @@ def main(argv=None):
     print(f"  gen: ONE fused batch sort   : {us(t):8.2f} us/scan "
           f"({t / (B * NPTS) * 1e9:.2f} ns/elem)")
 
+    # ---- VPU primitive floor: roll+compare+select throughput -------------
+    # The ring kernel is a sequence of butterfly roll stages over
+    # (rings, lanes) f32 arrays; its speed-of-light is the VPU's
+    # roll+select rate at the kernel's own shape. Measure it in Pallas
+    # (so nothing is hoisted) at the kernel's block shape: 64 rings x
+    # 2112 lanes, B=8 scans -> (512, 2112).
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ROLL_STAGES = 64
+
+    def _roll_kernel(x_ref, o_ref, *, stages):
+        x = x_ref[...]
+        y = x + 1.0
+        for s in range(stages):
+            r = pltpu.roll(y, 1 << (s % 11), axis=1)
+            y = jnp.where(r < y, r, y)
+        o_ref[...] = y
+
+    @jax.jit
+    def roll_probe(x, n):
+        f = pl.pallas_call(
+            functools.partial(_roll_kernel, stages=ROLL_STAGES),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))
+
+        def step(i, carry):
+            acc, x = carry
+            out = f(x + i.astype(jnp.float32) * 0)
+            return (acc + out.ravel()[0], x)
+        acc, _ = jax.lax.fori_loop(0, n, step, (jnp.float32(0), x))
+        return acc
+
+    lanes = B * N_RINGS * 2112
+    xroll = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (B * N_RINGS, 2112))
+        .astype(np.float32))
+
+    def make_roll(n):
+        return lambda x: float(jax.block_until_ready(roll_probe(x, n)))
+
+    def timed_roll(n):
+        fn = make_roll(n)
+        fn(xroll)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(xroll)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = (timed_roll(it) - timed_roll(1)) / (it - 1)
+    per_stage = t / ROLL_STAGES
+    print(f"  VPU roll+min floor          : {per_stage * 1e9:8.2f} ns/stage "
+          f"over {lanes:,} lanes ({per_stage / lanes * 1e12:.4f} ps/lane-"
+          f"stage) — ring kernel ~92 stages -> floor "
+          f"{92 * per_stage * 1e6 / B:.1f} us/scan")
+
     # key-only sort (lower bound for any key-only scheme)
     def make_sortk(n):
         @jax.jit
