@@ -36,10 +36,16 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 Robustness (round 4, after BENCH_r03 died on a transiently-unavailable
 axon lease at first backend touch): the measurement runs in a CHILD
 process and the parent retries with bounded backoff — a fresh process
-per attempt because JAX caches backend-init failures in-process. On
-final failure the parent still prints one structured JSON line (value 0
-+ ``error``) and exits nonzero, so the driver records a diagnosis
-instead of a null parse.
+per attempt because JAX caches backend-init failures in-process.
+Supervision is TWO-PHASE: the child prints a marker after its first
+successful backend touch; before the marker a hang means the lease is
+wedged and the child is killed quickly + safely (no compile in flight)
+and retried — many cheap attempts ride out multi-minute lease resets —
+while after the marker only a generous run timeout applies (killing a
+mid-Mosaic-compile child can wedge the lease for everyone, CLAUDE.md).
+On final failure the parent still prints one structured JSON line
+(value 0 + ``error``) and exits nonzero, so the driver records a
+diagnosis instead of a null parse.
 """
 
 import json
@@ -50,13 +56,21 @@ import time
 
 import numpy as np
 
-ATTEMPTS = 4
-# Per-attempt timeouts: the first run may have to COMPILE every program
-# (~6 heavyweight executables; Mosaic ring kernels take minutes cold) —
-# killing it mid-compile can wedge the tunnel lease (CLAUDE.md), so give
-# attempt 1 real headroom. Retries run cache-warm and need far less.
-ATTEMPT_TIMEOUT_S = (1500, 600, 600, 600)
-BACKOFFS_S = (20, 45, 90)        # between attempts
+# Wedge-aware two-phase supervision: the child prints NSC_BACKEND_OK
+# after its first successful backend touch. Until that marker, killing
+# the child is SAFE (no compile in flight) and a hang means the axon
+# lease is wedged — detect it in INIT_TIMEOUT_S and retry with backoff,
+# riding out multi-minute lease resets instead of burning the whole
+# budget on one doomed attempt. AFTER the marker, the child may be deep
+# in a minutes-long Mosaic compile (killing there can wedge the lease,
+# CLAUDE.md), so only the generous RUN_TIMEOUT_S applies.
+INIT_TIMEOUT_S = 180
+RUN_TIMEOUT_S = 1500
+INIT_ATTEMPTS = 10               # attempts that never reach the marker
+REAL_ATTEMPTS = 3                # attempts that fail after the marker
+BACKOFFS_S = (20, 45, 90, 120, 180, 240, 300, 300, 300)
+BACKEND_MARKER = "NSC_BACKEND_OK"
+CHILD_CMD = None                 # test hook: overrides the child command
 
 N_RINGS = 64
 PER_RING = 2088           # HDL-64E azimuth returns per ring
@@ -96,6 +110,7 @@ def main():
 
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
           file=sys.stderr)
+    print(BACKEND_MARKER, file=sys.stderr, flush=True)
 
     config = SpectralEncoderConfig()
     alpha = jnp.float32(2.0)
@@ -166,46 +181,108 @@ def main():
     }))
 
 
+def _run_child():
+    """One supervised child attempt. Returns
+    (phase, rc, stdout, stderr_lines) where phase is 'init' if the child
+    never printed BACKEND_MARKER (hang/kill there is wedge-safe) or
+    'run' once it did."""
+    import threading
+
+    env = dict(os.environ, NSC_BENCH_CHILD="1")
+    cmd = CHILD_CMD or [sys.executable, os.path.abspath(__file__)]
+    proc = subprocess.Popen(
+        cmd, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    err_lines = []
+    marker_seen = threading.Event()
+
+    def drain_err():
+        for ln in proc.stderr:
+            err_lines.append(ln)
+            if BACKEND_MARKER in ln:
+                marker_seen.set()
+
+    out_box = []
+
+    def drain_out():
+        out_box.append(proc.stdout.read())
+
+    te = threading.Thread(target=drain_err, daemon=True)
+    to = threading.Thread(target=drain_out, daemon=True)
+    te.start()
+    to.start()
+
+    deadline = time.time() + INIT_TIMEOUT_S
+    while (not marker_seen.is_set() and proc.poll() is None
+           and time.time() < deadline):
+        marker_seen.wait(0.5)
+    if not marker_seen.is_set() and proc.poll() is None:
+        # Backend init is hung (wedged lease). No compile can be in
+        # flight before the marker, so killing here is safe.
+        proc.kill()
+        proc.wait()
+        te.join(5)
+        to.join(5)
+        return "init", None, "", err_lines
+    try:
+        rc = proc.wait(timeout=RUN_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        proc.kill()        # last resort; >RUN_TIMEOUT_S means broken
+        proc.wait()
+        te.join(5)
+        to.join(5)
+        return "run", None, "".join(out_box), err_lines
+    te.join(10)
+    to.join(10)
+    phase = "run" if marker_seen.is_set() else "init"
+    return phase, rc, "".join(out_box) if out_box else "", err_lines
+
+
 def supervise():
-    """Run main() in retried child processes (see module docstring)."""
+    """Run main() in retried child processes (see module docstring):
+    init-phase hangs (wedged lease) are detected in INIT_TIMEOUT_S and
+    retried up to INIT_ATTEMPTS times; failures after backend init
+    (real errors) get REAL_ATTEMPTS tries."""
     last_tail = ""
-    for attempt in range(ATTEMPTS):
+    init_fails = real_fails = 0
+    attempt = 0
+    while init_fails < INIT_ATTEMPTS and real_fails < REAL_ATTEMPTS:
         if attempt:
             delay = BACKOFFS_S[min(attempt - 1, len(BACKOFFS_S) - 1)]
-            print(f"bench attempt {attempt} failed; retrying in {delay}s",
-                  file=sys.stderr)
+            print(f"bench attempt {attempt} failed ({last_tail}); "
+                  f"retrying in {delay}s", file=sys.stderr)
             time.sleep(delay)
-        env = dict(os.environ, NSC_BENCH_CHILD="1")
-        attempt_timeout = ATTEMPT_TIMEOUT_S[
-            min(attempt, len(ATTEMPT_TIMEOUT_S) - 1)]
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True,
-                timeout=attempt_timeout)
-        except subprocess.TimeoutExpired as e:
-            last_tail = f"attempt timed out after {attempt_timeout}s"
-            if e.stderr:
-                err = e.stderr if isinstance(e.stderr, str) else \
-                    e.stderr.decode("utf-8", "replace")
-                sys.stderr.write(err)
-                if err.strip():
-                    last_tail += " | " + err.strip().splitlines()[-1][-300:]
+        attempt += 1
+        phase, rc, stdout, err_lines = _run_child()
+        stderr = "".join(err_lines)
+        sys.stderr.write(stderr)
+        if rc is None:
+            if phase == "init":
+                init_fails += 1
+                last_tail = (f"backend init hung >{INIT_TIMEOUT_S}s "
+                             f"(axon lease wedged?)")
+            else:
+                real_fails += 1
+                last_tail = f"run exceeded {RUN_TIMEOUT_S}s"
             continue
-        sys.stderr.write(proc.stderr)
-        line = next((ln for ln in proc.stdout.splitlines()
+        line = next((ln for ln in stdout.splitlines()
                      if ln.startswith("{")), None)
-        if proc.returncode == 0 and line is not None:
+        if rc == 0 and line is not None:
             print(line)
             return 0
-        tail = (proc.stderr.strip().splitlines() or ["no stderr"])[-1]
-        last_tail = f"rc={proc.returncode}: {tail[-300:]}"
+        if phase == "init":
+            init_fails += 1
+        else:
+            real_fails += 1
+        tail = (stderr.strip().splitlines() or ["no stderr"])[-1]
+        last_tail = f"rc={rc}: {tail[-300:]}"
     print(json.dumps({
         "metric": "descriptor_extraction_throughput_full_density",
         "value": 0,
         "unit": "scans/sec/chip",
         "vs_baseline": 0,
-        "error": f"all {ATTEMPTS} attempts failed; last: {last_tail}",
+        "error": f"{attempt} attempts failed ({init_fails} in backend "
+                 f"init, {real_fails} after); last: {last_tail}",
     }))
     return 1
 
