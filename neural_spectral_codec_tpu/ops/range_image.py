@@ -163,6 +163,63 @@ def _segment_min_sorted(linear_idx: jnp.ndarray, vals: jnp.ndarray,
     return sorted_idx, run_min, is_start
 
 
+def _segment_min_sorted_batch(linear_idx: jnp.ndarray, vals: jnp.ndarray,
+                              max_range: float, n_pix: int):
+    """Batched :func:`_segment_min_sorted`: ONE flat sort over the whole
+    (B, N) batch with the batch id riding the key's high bits, instead of
+    B vmapped sorts — the remaining constant-factor candidate against the
+    general path's sort wall (docs/performance.md "dead ends" tail;
+    measured head-to-head in experiments/profile_hotpath.py).
+
+    ``lax.sort`` is stable, so the flat sort restricted to one batch row
+    equals that row's own stable sort — reshaping back to (B, N) yields
+    per-row (pixel, quantum)-sorted order. The batch bits displace
+    quantization bits (qb drops by ceil(log2 B)), which only re-orders
+    payloads WITHIN a pixel run; the suffix-min over full-key runs still
+    recovers the exact minimum at every run start, so the projected image
+    is bit-identical to the vmapped path (tests/test_encoding.py).
+    """
+    b, n = linear_idx.shape
+    id_bits = (n_pix + 1).bit_length()
+    bb = max(b - 1, 0).bit_length()
+    qb = min(16, 31 - id_bits - bb)
+    if qb < 0:
+        raise ValueError(
+            f"batch {b} x image {n_pix} exceeds the int32 key budget")
+    qmax = (1 << qb) - 1
+    quant = jnp.clip((vals * (qmax / max_range)).astype(jnp.int32), 0, qmax)
+    bid = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0)
+    packed = (bid << (id_bits + qb)) | (linear_idx << qb) | quant
+    sorted_key, sorted_rng = jax.lax.sort(
+        (packed.reshape(-1), vals.reshape(-1)), num_keys=1)
+    sorted_key = sorted_key.reshape(b, n)
+    sorted_rng = sorted_rng.reshape(b, n)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    run_min = sorted_rng
+    shift = 1
+    while shift < n:
+        cand = jnp.roll(run_min, -shift, axis=-1)
+        same = (jnp.roll(sorted_key, -shift, axis=-1) == sorted_key) & \
+               (pos < n - shift)
+        run_min = jnp.where(same, jnp.minimum(run_min, cand), run_min)
+        shift *= 2
+
+    sorted_idx = jax.lax.shift_right_logical(sorted_key, qb) & \
+        ((1 << id_bits) - 1)
+    is_start = jnp.concatenate(
+        [jnp.ones((b, 1), bool), sorted_idx[:, 1:] != sorted_idx[:, :-1]],
+        axis=1)
+    return sorted_idx, run_min, is_start
+
+
+# Default off until the head-to-head TPU measurement
+# (experiments/profile_hotpath.py) shows the fused sort beating the
+# vmapped one; flip via env NSC_FUSED_BATCH_SORT=1.
+_FUSED_BATCH_SORT = bool(int(
+    __import__("os").environ.get("NSC_FUSED_BATCH_SORT", "0")))
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def project_points_batch(points: jnp.ndarray, config: ProjectionConfig) -> jnp.ndarray:
     """Batched projection: (B, N, 3|4) → (B, n_elevation, n_azimuth).
@@ -368,9 +425,14 @@ def _project_points_batch_compact(points: jnp.ndarray,
                            n_pix).astype(jnp.int32)
     vals = jnp.where(valid, rng, jnp.inf).astype(jnp.float32)
 
-    sorted_idx, run_min, is_start = jax.vmap(
-        lambda i, v: _segment_min_sorted(i, v, config.max_range, n_pix)
-    )(linear_idx, vals)
+    if _FUSED_BATCH_SORT and b > 1 and \
+            31 - (n_pix + 1).bit_length() - (b - 1).bit_length() >= 0:
+        sorted_idx, run_min, is_start = _segment_min_sorted_batch(
+            linear_idx, vals, config.max_range, n_pix)
+    else:
+        sorted_idx, run_min, is_start = jax.vmap(
+            lambda i, v: _segment_min_sorted(i, v, config.max_range, n_pix)
+        )(linear_idx, vals)
     start = is_start & (sorted_idx < n_pix)
 
     if (jax.default_backend() == "tpu" and n_pix % 128 == 0

@@ -306,6 +306,51 @@ def test_compact_batch_projection_matches_scatter_path(rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_fused_batch_sort_projection_bit_identical(rng, monkeypatch):
+    """The fused-batch-sort variant (ONE flat sort with batch bits in the
+    key, _segment_min_sorted_batch) must project bit-identically to the
+    per-scan scatter path — the batch bits displace quantization bits,
+    which must not change any pixel minimum. Default-off pending the TPU
+    head-to-head (experiments/profile_hotpath.py); this parity holds
+    either way."""
+    import jax
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops import range_image as ri
+
+    monkeypatch.setattr(ri, "_FUSED_BATCH_SORT", True)
+    for cfg, B in ((ri.ProjectionConfig(), 8),            # 64x360
+                   (ri.ProjectionConfig(n_elevation=16, n_azimuth=90), 5),
+                   (ri.ProjectionConfig(n_elevation=128,
+                                        n_azimuth=1024), 3)):  # >2^17 px
+        pts = rng.uniform(-50, 50, (B, 4096, 4)).astype(np.float32)
+        pts[0, ::7] = np.nan
+        pts[1, :4000] = 0.0  # mostly sub-min-range -> sparse scan
+        # exact range ties across scans and within pixels stress the
+        # quantization-bit reshuffle
+        pts[2] = pts[B - 1]
+        got = np.asarray(jax.jit(
+            lambda p, c=cfg: ri._project_points_batch_compact(p, c))(
+                jnp.asarray(pts)))
+        ref = np.asarray(jax.jit(jax.vmap(
+            lambda p, c=cfg: ri.project_points(p, c)))(jnp.asarray(pts)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_batch_sort_key_budget_guard():
+    """Batch x image combinations that exceed the int31 key budget must
+    fall back to the vmapped sorts instead of corrupting keys (the guard
+    inside _project_points_batch_compact) and raise if called directly."""
+    import jax.numpy as jnp
+    import pytest
+    from neural_spectral_codec_tpu.ops import range_image as ri
+
+    n_pix = 1 << 28
+    li = jnp.zeros((16, 8), jnp.int32)
+    v = jnp.ones((16, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        ri._segment_min_sorted_batch(li, v, 80.0, n_pix)
+
+
 def test_monotone_expand_random(rng):
     """Butterfly expansion: brute-force random monotone instances."""
     import jax.numpy as jnp
