@@ -21,7 +21,14 @@ def main(argv=None):
     p.add_argument("--output", default=None, help="results JSON path")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="benchmark on N synthetic frames instead of datasets")
+    p.add_argument("--platform", default="default",
+                   help="Force the jax platform (e.g. 'cpu') — env vars "
+                        "alone cannot override plugin-registered backends "
+                        "(utils/platform.py)")
     args = p.parse_args(argv)
+
+    from neural_spectral_codec_tpu.utils.platform import force_platform
+    force_platform(args.platform)
 
     from neural_spectral_codec_tpu.evaluation import run_benchmark
     from neural_spectral_codec_tpu.pipeline import _loaders_from_config

@@ -64,7 +64,14 @@ def main(argv=None):
                         help="With --synthetic: simulate a B-beam VAL "
                              "sensor (HDL-64E-like FOV when B != the "
                              "train beam count)")
+    parser.add_argument("--platform", default="default",
+                        help="Force the jax platform (e.g. 'cpu') — env "
+                             "vars alone cannot override plugin-registered "
+                             "backends (utils/platform.py)")
     args = parser.parse_args(argv)
+
+    from neural_spectral_codec_tpu.utils.platform import force_platform
+    force_platform(args.platform)
 
     from neural_spectral_codec_tpu.pipeline import (
         NeuralSpectralCodecPipeline, _loaders_from_config)
