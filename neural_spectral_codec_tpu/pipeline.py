@@ -810,7 +810,13 @@ def main():
     p = argparse.ArgumentParser(description="Neural Spectral Codec (TPU)")
     p.add_argument("--config", required=True)
     p.add_argument("--mode", default="train", choices=["train", "online"])
+    p.add_argument("--platform", default="default",
+                   help="Force the jax platform (e.g. 'cpu') — env vars "
+                        "alone cannot override plugin-registered backends "
+                        "(utils/platform.py)")
     args = p.parse_args()
+    from neural_spectral_codec_tpu.utils.platform import force_platform
+    force_platform(args.platform)
     from neural_spectral_codec_tpu.utils.logging_setup import setup_logging
     setup_logging()
     run_pipeline(args.config, args.mode)
