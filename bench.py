@@ -41,8 +41,13 @@ Supervision is TWO-PHASE: the child prints a marker after its first
 successful backend touch; before the marker a hang means the lease is
 wedged and the child is killed quickly + safely (no compile in flight)
 and retried — many cheap attempts ride out multi-minute lease resets —
-while after the marker only a generous run timeout applies (killing a
-mid-Mosaic-compile child can wedge the lease for everyone, CLAUDE.md).
+while after the marker the child is killed only after RUN_STALL_S with
+ZERO stderr activity (heartbeats print between stages, so the longest
+legitimate silence is one Mosaic compile) or the absolute cap: a fixed
+run deadline once fired mid-compile and wedged the lease for everyone
+(CLAUDE.md). Fast pre-marker EXITS are split by stderr: transient
+backend errors (UNAVAILABLE — the BENCH_r03 failure) keep the patient
+retries; deterministic errors fail fast.
 On final failure the parent still prints one structured JSON line
 (value 0 + ``error``) and exits nonzero, so the driver records a
 diagnosis instead of a null parse.
@@ -65,9 +70,12 @@ import numpy as np
 # in a minutes-long Mosaic compile (killing there can wedge the lease,
 # CLAUDE.md), so only the generous RUN_TIMEOUT_S applies.
 INIT_TIMEOUT_S = 180
-RUN_TIMEOUT_S = 1500
-INIT_ATTEMPTS = 10               # attempts that never reach the marker
-REAL_ATTEMPTS = 3                # attempts that fail after the marker
+RUN_STALL_S = 1500               # run-phase kill only after this long with
+                                 # ZERO stderr activity (a Mosaic compile is
+                                 # minutes; heartbeats in main() reset this)
+RUN_TIMEOUT_S = 3600             # absolute run-phase cap (last resort)
+INIT_ATTEMPTS = 10               # attempts that HUNG before the marker
+REAL_ATTEMPTS = 3                # attempts that errored/exited/stalled
 BACKOFFS_S = (20, 45, 90, 120, 180, 240, 300, 300, 300)
 BACKEND_MARKER = "NSC_BACKEND_OK"
 CHILD_CMD = None                 # test hook: overrides the child command
@@ -149,12 +157,16 @@ def main():
     x = jax.device_put(jnp.asarray(scans))
 
     # output parity ring vs general on this exact input (bit-identical)
+    print("parity check: compiling ring + general paths...",
+          file=sys.stderr, flush=True)
     d_ring = np.asarray(encode_points_ring_batch(x[:8], alpha, config,
                                                  rows))
     d_gen = np.asarray(encode_points_batch(
         x[:8].reshape(8, -1, 4), alpha, config))
     assert np.array_equal(d_ring, d_gen), "ring path diverged from general"
 
+    print("measuring ring path (timing-loop compiles)...",
+          file=sys.stderr, flush=True)
     sps, us = measure(
         lambda x: encode_points_ring_batch(x, alpha, config, rows),
         x, BENCH_B, iters=40)
@@ -164,6 +176,7 @@ def main():
           file=sys.stderr)
 
     # ---- secondary: general sorted path (arbitrary point order) --------
+    print("measuring general sorted path...", file=sys.stderr, flush=True)
     rnd = jax.device_put(jnp.asarray(make_random_scans(BENCH_B, FULL_N)))
     gsps, gus = measure(
         lambda x: encode_points_batch(x, alpha, config), rnd, BENCH_B,
@@ -195,10 +208,12 @@ def _run_child():
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
     err_lines = []
     marker_seen = threading.Event()
+    last_activity = [time.time()]
 
     def drain_err():
         for ln in proc.stderr:
             err_lines.append(ln)
+            last_activity[0] = time.time()
             if BACKEND_MARKER in ln:
                 marker_seen.set()
 
@@ -224,14 +239,22 @@ def _run_child():
         te.join(5)
         to.join(5)
         return "init", None, "", err_lines
-    try:
-        rc = proc.wait(timeout=RUN_TIMEOUT_S)
-    except subprocess.TimeoutExpired:
-        proc.kill()        # last resort; >RUN_TIMEOUT_S means broken
-        proc.wait()
-        te.join(5)
-        to.join(5)
-        return "run", None, "".join(out_box), err_lines
+    # Run phase: kill only on a genuine stall — no stderr activity for
+    # RUN_STALL_S (main() prints a heartbeat between stages, and the
+    # longest silent window is one Mosaic compile, minutes) — or past the
+    # absolute cap. A fixed-deadline kill here once fired mid-compile and
+    # wedged the lease server-side for everyone (CLAUDE.md).
+    run_deadline = time.time() + RUN_TIMEOUT_S
+    while proc.poll() is None:
+        if (time.time() - last_activity[0] > RUN_STALL_S
+                or time.time() > run_deadline):
+            proc.kill()    # last resort; a >RUN_STALL_S silent child is
+            proc.wait()    # hung, not compiling
+            te.join(5)
+            to.join(5)
+            return "run", None, "".join(out_box), err_lines
+        time.sleep(1)
+    rc = proc.wait()
     te.join(10)
     to.join(10)
     phase = "run" if marker_seen.is_set() else "init"
@@ -263,14 +286,24 @@ def supervise():
                              f"(axon lease wedged?)")
             else:
                 real_fails += 1
-                last_tail = f"run exceeded {RUN_TIMEOUT_S}s"
+                last_tail = (f"run stalled >{RUN_STALL_S}s silent or "
+                             f"exceeded {RUN_TIMEOUT_S}s")
             continue
         line = next((ln for ln in stdout.splitlines()
                      if ln.startswith("{")), None)
         if rc == 0 and line is not None:
             print(line)
             return 0
-        if phase == "init":
+        # The child EXITED with an error. Transient backend-init errors
+        # (BENCH_r03 died fast with UNAVAILABLE at first backend touch)
+        # deserve the patient wedge-riding retries; anything else — an
+        # import error, a parity assertion — is deterministic and gets
+        # only the few real-failure attempts instead of ~27 min of
+        # backoff sleep before the diagnosis is printed.
+        transient = phase == "init" and any(
+            s in stderr for s in ("UNAVAILABLE", "DEADLINE_EXCEEDED",
+                                  "backend setup", "Unable to initialize"))
+        if transient:
             init_fails += 1
         else:
             real_fails += 1

@@ -132,10 +132,6 @@ def main(argv=None):
     vals = jnp.pad(vals, ((0, 0), (0, 0), (0, ppad - PER_RING)),
                    constant_values=jnp.inf).reshape(B * N_RINGS, ppad)
 
-    def kernel_body(kv):
-        k, v = kv[0], kv[1]
-        out = ring_fold_pallas(k, v, proj.n_azimuth, 2)
-        return out
     kv = jnp.stack([key, vals])
 
     def make_kernel(n):
@@ -201,12 +197,16 @@ def main(argv=None):
     print(f"  gen: packed 1-key sort only : {us(t):8.2f} us/scan "
           f"({t / (B * NPTS) * 1e9:.2f} ns/elem)")
 
-    # one fused batch sort (batch bits in the key) — candidate shave
+    # one fused batch sort (batch bits in the key) — candidate shave.
+    # Use the library's own key layout so the probe measures exactly the
+    # packing _segment_min_sorted_batch sorts (a hand-rolled shift here
+    # once aliased the batch bits onto the pixel field).
+    id_bits, _, qb2 = ri._batch_key_layout(B, n_pix)
+    assert qb2 >= 0
     bb = jax.lax.broadcasted_iota(jnp.int32, (B, NPTS), 0)
-    qb2 = max(qb - 3, 0)
-    packed_b = (((bb << (31 - 3 - (n_pix + 1).bit_length()))
-                 | (li << qb2)
-                 | (quant >> (qb - qb2))).reshape(1, B * NPTS))
+    packed_b = ((bb << (id_bits + qb2))
+                | (li << qb2)
+                | (quant >> (qb - qb2))).reshape(1, B * NPTS)
     vb = v.reshape(1, B * NPTS)
 
     def make_sort1(n):

@@ -163,6 +163,17 @@ def _segment_min_sorted(linear_idx: jnp.ndarray, vals: jnp.ndarray,
     return sorted_idx, run_min, is_start
 
 
+def _batch_key_layout(b: int, n_pix: int):
+    """Bit layout of the fused batch-sort key: returns (id_bits, batch_bits,
+    quant_bits) with quant_bits < 0 meaning the combination exceeds the
+    int32 key budget. Single source of truth for
+    :func:`_segment_min_sorted_batch`, its dispatch gate, and the probe in
+    experiments/profile_hotpath.py."""
+    id_bits = (n_pix + 1).bit_length()
+    bb = max(b - 1, 0).bit_length()
+    return id_bits, bb, min(16, 31 - id_bits - bb)
+
+
 def _segment_min_sorted_batch(linear_idx: jnp.ndarray, vals: jnp.ndarray,
                               max_range: float, n_pix: int):
     """Batched :func:`_segment_min_sorted`: ONE flat sort over the whole
@@ -180,9 +191,7 @@ def _segment_min_sorted_batch(linear_idx: jnp.ndarray, vals: jnp.ndarray,
     is bit-identical to the vmapped path (tests/test_encoding.py).
     """
     b, n = linear_idx.shape
-    id_bits = (n_pix + 1).bit_length()
-    bb = max(b - 1, 0).bit_length()
-    qb = min(16, 31 - id_bits - bb)
+    id_bits, _, qb = _batch_key_layout(b, n_pix)
     if qb < 0:
         raise ValueError(
             f"batch {b} x image {n_pix} exceeds the int32 key budget")
@@ -425,8 +434,7 @@ def _project_points_batch_compact(points: jnp.ndarray,
                            n_pix).astype(jnp.int32)
     vals = jnp.where(valid, rng, jnp.inf).astype(jnp.float32)
 
-    if _FUSED_BATCH_SORT and b > 1 and \
-            31 - (n_pix + 1).bit_length() - (b - 1).bit_length() >= 0:
+    if _FUSED_BATCH_SORT and b > 1 and _batch_key_layout(b, n_pix)[2] >= 0:
         sorted_idx, run_min, is_start = _segment_min_sorted_batch(
             linear_idx, vals, config.max_range, n_pix)
     else:

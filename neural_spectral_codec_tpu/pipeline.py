@@ -145,8 +145,23 @@ class RingMajorBatchEncoder(BatchEncoder):
             prepare_structured)
 
         out = np.zeros((len(clouds), self.config.output_dim), np.float32)
-        groups: Dict = {}
+        pending: Dict = {}
         fallback: List[int] = []
+
+        def flush(key, items):
+            rows, shape = key
+            batch = np.full((self.RING_B,) + shape, np.nan, np.float32)
+            for j, (_, rings) in enumerate(items):
+                batch[j] = rings
+            d = np.asarray(encode_points_ring_batch(
+                jnp.asarray(batch), self.alpha, self.config, rows))
+            for j, (i, _) in enumerate(items):
+                out[i] = d[j]
+
+        # flush each group's chunk as soon as it fills: at most
+        # n_groups x RING_B prepared (R, Ppad, 4) copies are ever live
+        # (preparing a whole KITTI-scale sequence up front would hold
+        # gigabytes of ring-major copies before the first device batch)
         for i, cloud in enumerate(clouds):
             c = np.asarray(cloud)[:self.max_points]
             prep = None
@@ -155,20 +170,14 @@ class RingMajorBatchEncoder(BatchEncoder):
                     c, infer_ring_ids_from_sweep(c), self.config)
             if prep is None:
                 fallback.append(i)
-            else:
-                rings, rows = prep
-                groups.setdefault((rows, rings.shape), []).append(
-                    (i, rings))
-        for (rows, shape), items in groups.items():
-            for s in range(0, len(items), self.RING_B):
-                chunk = items[s:s + self.RING_B]
-                batch = np.full((self.RING_B,) + shape, np.nan, np.float32)
-                for j, (_, rings) in enumerate(chunk):
-                    batch[j] = rings
-                d = np.asarray(encode_points_ring_batch(
-                    jnp.asarray(batch), self.alpha, self.config, rows))
-                for j, (i, _) in enumerate(chunk):
-                    out[i] = d[j]
+                continue
+            rings, rows = prep
+            key = (rows, rings.shape)
+            pending.setdefault(key, []).append((i, rings))
+            if len(pending[key]) == self.RING_B:
+                flush(key, pending.pop(key))
+        for key, items in pending.items():
+            flush(key, items)
         if fallback:
             d = super().encode([np.asarray(clouds[i]) for i in fallback])
             for j, i in enumerate(fallback):

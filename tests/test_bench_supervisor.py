@@ -22,6 +22,7 @@ import bench  # noqa: E402
 @pytest.fixture(autouse=True)
 def fast_supervisor(monkeypatch):
     monkeypatch.setattr(bench, "INIT_TIMEOUT_S", 2)
+    monkeypatch.setattr(bench, "RUN_STALL_S", 8)
     monkeypatch.setattr(bench, "RUN_TIMEOUT_S", 10)
     monkeypatch.setattr(bench, "BACKOFFS_S", (0.05,))
     yield
@@ -80,6 +81,69 @@ def test_early_death_before_marker_returns_quickly(monkeypatch):
     t0 = time.time()
     assert bench.supervise() == 1
     assert time.time() - t0 < 15
+
+
+def test_deterministic_premarker_exit_uses_real_budget(monkeypatch, capsys):
+    # An ImportError-style fast exit before the marker is DETERMINISTIC:
+    # it must burn the small real-failure budget (fast diagnosis), not
+    # the 10-attempt init budget with ~27 min of backoff sleep.
+    monkeypatch.setattr(bench, "REAL_ATTEMPTS", 2)
+    monkeypatch.setattr(bench, "INIT_ATTEMPTS", 10)
+    _child("import sys; print('ImportError: nope', file=sys.stderr);"
+           "sys.exit(1)", monkeypatch)
+    assert bench.supervise() == 1
+    err_line = json.loads(capsys.readouterr().out.strip())
+    assert "2 after" in err_line["error"]
+
+
+def test_transient_backend_exit_keeps_patient_retries(monkeypatch, capsys):
+    # BENCH_r03's actual failure: a fast pre-marker EXIT raising
+    # UNAVAILABLE. That is lease-transient and must be classified as an
+    # init failure (patient retries), not a deterministic error.
+    monkeypatch.setattr(bench, "INIT_ATTEMPTS", 3)
+    monkeypatch.setattr(bench, "REAL_ATTEMPTS", 1)
+    _child("import sys;"
+           "print('jax.errors.JaxRuntimeError: UNAVAILABLE: TPU backend "
+           "setup/compile error', file=sys.stderr); sys.exit(1)",
+           monkeypatch)
+    assert bench.supervise() == 1
+    err_line = json.loads(capsys.readouterr().out.strip())
+    assert "3 in backend init" in err_line["error"]
+
+
+def test_run_phase_stall_detected_by_silence(monkeypatch, capsys):
+    # Post-marker, a child with ZERO stderr activity for RUN_STALL_S is
+    # hung (not compiling) and must be killed and counted as a real
+    # failure well before the absolute cap.
+    monkeypatch.setattr(bench, "RUN_STALL_S", 3)
+    monkeypatch.setattr(bench, "RUN_TIMEOUT_S", 60)
+    monkeypatch.setattr(bench, "REAL_ATTEMPTS", 1)
+    _child(
+        "import sys, time;"
+        f"print({bench.BACKEND_MARKER!r}, file=sys.stderr, flush=True);"
+        "time.sleep(120)", monkeypatch)
+    import time
+    t0 = time.time()
+    assert bench.supervise() == 1
+    assert time.time() - t0 < 30
+    err_line = json.loads(capsys.readouterr().out.strip())
+    assert "stalled" in err_line["error"]
+
+
+def test_run_phase_heartbeats_defeat_stall_kill(monkeypatch, capsys):
+    # A child that keeps printing progress (as main()'s heartbeats do
+    # between compile-heavy stages) must NOT be stall-killed even when
+    # its total runtime exceeds RUN_STALL_S.
+    monkeypatch.setattr(bench, "RUN_STALL_S", 2)
+    monkeypatch.setattr(bench, "RUN_TIMEOUT_S", 60)
+    _child(
+        "import sys, time, json;"
+        f"print({bench.BACKEND_MARKER!r}, file=sys.stderr, flush=True);"
+        "[ (time.sleep(1), print('hb', file=sys.stderr, flush=True))"
+        "  for _ in range(5) ];"
+        "print(json.dumps({'metric': 'm', 'value': 3}))", monkeypatch)
+    assert bench.supervise() == 0
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 3
 
 
 def test_recovery_after_init_hangs(monkeypatch, capsys, tmp_path):

@@ -62,8 +62,18 @@ def main(argv=None):
     parser.add_argument("--synthetic-val-beams", type=int, default=None,
                         metavar="B",
                         help="With --synthetic: simulate a B-beam VAL "
-                             "sensor (HDL-64E-like FOV when B != the "
-                             "train beam count)")
+                             "sensor (FOV from the known-sensor table, "
+                             "or --synthetic-val-fov)")
+    parser.add_argument("--synthetic-fov", type=float, nargs=2,
+                        default=None, metavar=("LO", "HI"),
+                        help="Vertical FOV (deg) of the synthetic TRAIN "
+                             "sensor; required for beam counts without a "
+                             "known-sensor default (16→VLP-16 ±15°, "
+                             "64→HDL-64E −24.8°..2°)")
+    parser.add_argument("--synthetic-val-fov", type=float, nargs=2,
+                        default=None, metavar=("LO", "HI"),
+                        help="Vertical FOV (deg) of the synthetic VAL "
+                             "sensor (see --synthetic-fov)")
     parser.add_argument("--platform", default="default",
                         help="Force the jax platform (e.g. 'cpu') — env "
                              "vars alone cannot override plugin-registered "
@@ -93,15 +103,32 @@ def main(argv=None):
         if args.synthetic_beams or args.synthetic_val_beams:
             # cross-sensor recipe on synthetic streams: train sensor is
             # VLP-16-like (16 beams, ±15°), val sensor HDL-64E-like
-            # (64 beams, −24.8°..2°) unless overridden
+            # (64 beams, −24.8°..2°) unless overridden. FOV is resolved
+            # from the known-sensor table or an explicit flag — NEVER
+            # guessed from the beam count, so a cross-FOV experiment
+            # cannot silently degrade into a same-FOV one.
+            known_fov = {16: (-15.0, 15.0), 64: (-24.8, 2.0)}
+
+            def fov_for(beams, explicit, flag):
+                if explicit is not None:
+                    return tuple(explicit)
+                if beams in known_fov:
+                    return known_fov[beams]
+                parser.error(
+                    f"no known vertical FOV for a {beams}-beam sensor; "
+                    f"pass {flag} LO HI explicitly")
+
             tb = args.synthetic_beams or 16
             vb = args.synthetic_val_beams or 64
+            tf = fov_for(tb, args.synthetic_fov, "--synthetic-fov")
+            vf = fov_for(vb, args.synthetic_val_fov, "--synthetic-val-fov")
+            logger.info("Synthetic cross-sensor: train %d beams %s deg, "
+                        "val %d beams %s deg", tb, tf, vb, vf)
             train_loaders = [SensorSimLoader(
                 n_frames=args.synthetic, seed=0, n_beams=tb,
-                beam_fov_deg=(-15.0, 15.0) if tb <= 32 else (-24.8, 2.0))]
+                beam_fov_deg=tf)]
             val_loaders = [SensorSimLoader(
-                n_frames=n_val, seed=1, n_beams=vb,
-                beam_fov_deg=(-15.0, 15.0) if vb <= 32 else (-24.8, 2.0))]
+                n_frames=n_val, seed=1, n_beams=vb, beam_fov_deg=vf)]
         else:
             train_loaders = [SyntheticLoader(n_frames=args.synthetic, seed=0)]
             val_loaders = [SyntheticLoader(n_frames=n_val, seed=1)]
