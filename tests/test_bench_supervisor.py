@@ -21,9 +21,12 @@ import bench  # noqa: E402
 
 @pytest.fixture(autouse=True)
 def fast_supervisor(monkeypatch):
-    monkeypatch.setattr(bench, "INIT_TIMEOUT_S", 2)
+    # INIT_TIMEOUT_S must comfortably exceed `python -c` startup on a
+    # fully loaded machine (the suite runs an 8-device CPU mesh; 2 s was
+    # measured too tight — children got misclassified as init hangs).
+    monkeypatch.setattr(bench, "INIT_TIMEOUT_S", 8)
     monkeypatch.setattr(bench, "RUN_STALL_S", 8)
-    monkeypatch.setattr(bench, "RUN_TIMEOUT_S", 10)
+    monkeypatch.setattr(bench, "RUN_TIMEOUT_S", 30)
     monkeypatch.setattr(bench, "BACKOFFS_S", (0.05,))
     yield
 
@@ -125,7 +128,7 @@ def test_run_phase_stall_detected_by_silence(monkeypatch, capsys):
     import time
     t0 = time.time()
     assert bench.supervise() == 1
-    assert time.time() - t0 < 30
+    assert time.time() - t0 < 45
     err_line = json.loads(capsys.readouterr().out.strip())
     assert "stalled" in err_line["error"]
 
@@ -133,14 +136,16 @@ def test_run_phase_stall_detected_by_silence(monkeypatch, capsys):
 def test_run_phase_heartbeats_defeat_stall_kill(monkeypatch, capsys):
     # A child that keeps printing progress (as main()'s heartbeats do
     # between compile-heavy stages) must NOT be stall-killed even when
-    # its total runtime exceeds RUN_STALL_S.
-    monkeypatch.setattr(bench, "RUN_STALL_S", 2)
+    # its total runtime (8 s) exceeds RUN_STALL_S (4 s). Heartbeats every
+    # 0.5 s leave an 8x scheduling margin against the stall window — a
+    # loaded suite machine stretched 1 s sleeps past a 2 s window once.
+    monkeypatch.setattr(bench, "RUN_STALL_S", 4)
     monkeypatch.setattr(bench, "RUN_TIMEOUT_S", 60)
     _child(
         "import sys, time, json;"
         f"print({bench.BACKEND_MARKER!r}, file=sys.stderr, flush=True);"
-        "[ (time.sleep(1), print('hb', file=sys.stderr, flush=True))"
-        "  for _ in range(5) ];"
+        "[ (time.sleep(0.5), print('hb', file=sys.stderr, flush=True))"
+        "  for _ in range(16) ];"
         "print(json.dumps({'metric': 'm', 'value': 3}))", monkeypatch)
     assert bench.supervise() == 0
     assert json.loads(capsys.readouterr().out.strip())["value"] == 3
