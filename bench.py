@@ -25,8 +25,9 @@ Baseline: the reference's own target of <10 ms/scan on GPU
 scans/s. ``vs_baseline`` is the speedup over that. (The driver's north
 star is 10k scans/s/chip = 100x.)
 
-Timing: the iteration loop runs ON DEVICE (lax.fori_loop with an
-iteration-dependent perturbation so XLA cannot hoist the body) —
+Timing: the iteration loop runs ON DEVICE (lax.fori_loop whose next
+input depends on this iteration's output, so XLA cannot hoist the
+body) —
 host dispatch/tunnel latency is excluded, and the final scalar fetch
 synchronizes everything. Two-point form (t(N) - t(1)) / (N - 1) cancels
 the ~30 ms constant dispatch+fetch cost per jit call on the tunnel.
@@ -128,10 +129,19 @@ def main():
         def timed(n_iters):
             @jax.jit
             def many(x):
+                # The next iteration's input is a data-dependent function
+                # of this iteration's output (acc is runtime data, so the
+                # where can't be folded) — XLA cannot hoist even a
+                # pure-XLA body like the general path's sort out of the
+                # loop (CLAUDE.md timing trap #1). acc stays finite, so x
+                # never actually changes and every iteration does
+                # identical work.
                 def body(i, carry):
                     acc, x = carry
-                    out = fn(x + i.astype(jnp.float32) * 0)
-                    return (acc + out.ravel()[0], x)
+                    acc = acc + fn(x).ravel()[0]
+                    x = x + jnp.where(jnp.isnan(acc), jnp.float32(1),
+                                      jnp.float32(0))
+                    return (acc, x)
                 acc, _ = jax.lax.fori_loop(0, n_iters, body,
                                            (jnp.float32(0), x))
                 return acc

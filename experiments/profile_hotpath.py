@@ -81,15 +81,20 @@ def main(argv=None):
     ).astype(np.float32)))
 
     def loop_feedback(body, probe):
-        """fori_loop with output fed back into the carry (hoist-proof for
-        data-oblivious bodies)."""
+        """fori_loop whose NEXT input is a data-dependent function of
+        this iteration's output: acc is runtime data, so XLA can neither
+        fold the where nor hoist even a pure-XLA body out of the loop
+        (CLAUDE.md timing trap #1). acc stays finite, so x never actually
+        changes value and every iteration does identical work."""
         def make(n):
             @jax.jit
             def many(x):
                 def step(i, carry):
                     acc, x = carry
-                    out = body(x + i.astype(jnp.float32) * 0)
-                    return (acc + probe(out), x)
+                    acc = acc + probe(body(x))
+                    x = x + jnp.where(jnp.isnan(acc), jnp.float32(1),
+                                      jnp.float32(0))
+                    return (acc, x)
                 acc, _ = jax.lax.fori_loop(0, n, step, (jnp.float32(0), x))
                 return acc
             return many

@@ -148,6 +148,37 @@ def snap_to_beams(points: np.ndarray, n_beams: int,
     return out[keep]
 
 
+def wedge_dropout_keep(pts: np.ndarray, rng: np.random.Generator,
+                       wedge_deg: Optional[float], dropout: float,
+                       dropout_first: bool = False) -> np.ndarray:
+    """Viewpoint-degradation keep-mask: a random azimuth wedge (when
+    ``wedge_deg`` is set) minus random point dropout. The single
+    implementation shared by SensorSimLoader and DegradedSyntheticLoader
+    so the two degradation semantics cannot drift.
+
+    ``dropout_first`` selects the rng draw ORDER (per-point dropout draw
+    before vs after the wedge-center draw). Both loaders' historical
+    orders are preserved because each backs recorded deterministic
+    results: DegradedSyntheticLoader (center first) is the stream behind
+    docs/density_defense.md and experiments/degraded_recall.py;
+    SensorSimLoader (dropout first) is the stream behind the measured
+    cross-sensor uplift in docs/cross_sensor.md — re-ordering the draws
+    re-rolls every degraded scan and silently invalidates those numbers
+    (observed: the cross-sensor GNN uplift moved +25% -> +8% relative on
+    a re-rolled stream; see docs/cross_sensor.md's variability note)."""
+    keep = np.ones(len(pts), dtype=bool)
+    if dropout_first:
+        keep &= rng.random(len(pts)) >= dropout
+    if wedge_deg is not None:
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        center = rng.uniform(-np.pi, np.pi)
+        delta = np.abs(np.angle(np.exp(1j * (az - center))))
+        keep &= delta < np.deg2rad(wedge_deg / 2)
+    if not dropout_first:
+        keep &= rng.random(len(pts)) > dropout
+    return keep
+
+
 class SensorSimLoader(SyntheticLoader):
     """Synthetic loader through a simulated n-beam sensor (snap-to-beam +
     vertical-FOV crop), with optional viewpoint degradation (azimuth
@@ -172,13 +203,8 @@ class SensorSimLoader(SyntheticLoader):
         pts = snap_to_beams(item["points"], self.n_beams, self.beam_fov_deg)
         if self.wedge_deg is not None or self.dropout > 0.0:
             rng = np.random.default_rng(hash((self.seed, idx, 911)) % (2**31))
-            keep = rng.random(len(pts)) >= self.dropout
-            if self.wedge_deg is not None:
-                az = np.arctan2(pts[:, 1], pts[:, 0])
-                center = rng.uniform(-np.pi, np.pi)
-                delta = np.abs(np.angle(np.exp(1j * (az - center))))
-                keep &= delta < np.deg2rad(self.wedge_deg / 2)
-            pts = pts[keep]
+            pts = pts[wedge_dropout_keep(pts, rng, self.wedge_deg,
+                                         self.dropout, dropout_first=True)]
         item["points"] = pts
         return item
 
@@ -203,10 +229,6 @@ class DegradedSyntheticLoader(SyntheticLoader):
         item = super().__getitem__(idx)
         pts = item["points"]
         rng = np.random.default_rng(hash((self.seed, idx, 77)) % (2 ** 31))
-        az = np.arctan2(pts[:, 1], pts[:, 0])
-        center = rng.uniform(-np.pi, np.pi)
-        delta = np.abs(np.angle(np.exp(1j * (az - center))))
-        keep = (delta < np.deg2rad(self.wedge_deg / 2)) & \
-               (rng.random(len(pts)) > self.dropout)
-        item["points"] = pts[keep]
+        item["points"] = pts[wedge_dropout_keep(pts, rng, self.wedge_deg,
+                                                self.dropout)]
         return item

@@ -136,3 +136,73 @@ def test_synthetic_loader_revisit_consistency():
     # determinism
     a2 = ld[5]
     np.testing.assert_array_equal(a["points"], a2["points"])
+
+
+def test_degraded_loader_stream_pinned():
+    """DegradedSyntheticLoader's exact byte stream is pinned: the recorded
+    density-defense / degraded-recall numbers (docs/density_defense.md,
+    experiments/degraded_recall.py) were measured on THIS stream, so any
+    refactor of the degradation path (e.g. the shared wedge_dropout_keep
+    helper) must keep it bit-identical or re-measure those docs."""
+    import hashlib
+
+    from neural_spectral_codec_tpu.data.synthetic import (
+        DegradedSyntheticLoader)
+
+    ld = DegradedSyntheticLoader(n_frames=4, seed=3, n_points=4096)
+    pins = {0: (1198, "4e7e9dcfc60ae406df3a600c8e5733072b30a602"),
+            3: (1239, "72ad6c9e18da8b58d01b5ce2d0afc3e086c4812a")}
+    for idx, (n, sha) in pins.items():
+        pts = ld[idx]["points"]
+        assert pts.shape == (n, 4)
+        assert hashlib.sha1(pts.tobytes()).hexdigest() == sha
+
+
+def test_sensor_sim_loader_stream_pinned():
+    """SensorSimLoader's degraded byte stream is pinned the same way: the
+    measured cross-sensor uplift (docs/cross_sensor.md) was trained and
+    validated on THIS stream (dropout-first draw order). A re-rolled
+    stream moved the GNN uplift +25% -> +8% relative, so draw-order
+    changes are NOT neutral refactors."""
+    import hashlib
+
+    from neural_spectral_codec_tpu.data.synthetic import SensorSimLoader
+
+    ld = SensorSimLoader(n_frames=4, seed=0, n_points=8000, n_beams=16,
+                         wedge_deg=200.0, dropout=0.3)
+    pins = {0: (1828, "ada8671ac3c12c2f6b7e2bb9026a8bd97f979586"),
+            3: (2050, "b8afce46f53a334fb63f80058ec167fcf1fe6344")}
+    for idx, (n, sha) in pins.items():
+        pts = ld[idx]["points"]
+        assert pts.shape == (n, 4)
+        assert hashlib.sha1(pts.tobytes()).hexdigest() == sha
+
+
+def test_degradation_helper_shared_semantics():
+    """SensorSimLoader and DegradedSyntheticLoader drive the same
+    wedge_dropout_keep helper: identical rng/params give identical keep
+    masks (wedge ~ wedge_deg/360 of the azimuth circle, minus dropout)."""
+    from neural_spectral_codec_tpu.data.synthetic import wedge_dropout_keep
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-50, 50, (20000, 4)).astype(np.float32)
+    keep = wedge_dropout_keep(pts, np.random.default_rng(7),
+                              wedge_deg=180.0, dropout=0.0)
+    frac = keep.mean()
+    assert 0.45 < frac < 0.55  # half the circle
+    keep2 = wedge_dropout_keep(pts, np.random.default_rng(7),
+                               wedge_deg=180.0, dropout=0.5)
+    # dropout thins the same wedge: subset of keep, about half its size
+    assert not np.any(keep2 & ~keep)
+    assert 0.4 < keep2.sum() / keep.sum() < 0.6
+    # no wedge = dropout only
+    keep3 = wedge_dropout_keep(pts, np.random.default_rng(7),
+                               wedge_deg=None, dropout=0.25)
+    assert 0.7 < keep3.mean() < 0.8
+    # dropout_first re-orders the rng draws (a different stream) but
+    # keeps the same semantics
+    keep4 = wedge_dropout_keep(pts, np.random.default_rng(7),
+                               wedge_deg=180.0, dropout=0.5,
+                               dropout_first=True)
+    assert 0.2 < keep4.mean() < 0.3
+    assert not np.array_equal(keep4, keep2)

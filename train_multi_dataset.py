@@ -96,11 +96,18 @@ def main(argv=None):
 
     pipeline = NeuralSpectralCodecPipeline(config)
 
+    sensor_flags = (args.synthetic_beams is not None
+                    or args.synthetic_val_beams is not None
+                    or args.synthetic_fov is not None
+                    or args.synthetic_val_fov is not None)
+    if sensor_flags and not args.synthetic:
+        parser.error("--synthetic-beams/--synthetic-fov flags require "
+                     "--synthetic N (they configure the synthetic sensors)")
     if args.synthetic:
         from neural_spectral_codec_tpu.data.synthetic import (
             SensorSimLoader, SyntheticLoader)
         n_val = max(args.synthetic // 2, 30)
-        if args.synthetic_beams or args.synthetic_val_beams:
+        if sensor_flags:
             # cross-sensor recipe on synthetic streams: train sensor is
             # VLP-16-like (16 beams, ±15°), val sensor HDL-64E-like
             # (64 beams, −24.8°..2°) unless overridden. FOV is resolved
