@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=25)
     p.add_argument("--frames", type=int, default=300)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--seed-base", type=int, default=0,
+                   help="world/degradation seed pair: train uses "
+                        "seed-base, val seed-base+1 (default 0/1 = the "
+                        "recorded headline draw)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -71,11 +75,12 @@ def main(argv=None):
     # train sensor: VLP-16-like; val sensor: HDL-64E-like. Same world
     # statistics, different seeds (different places) — the GNN must
     # transfer across sensors, not memorize places.
-    train = SensorSimLoader(n_frames=args.frames, seed=0, n_points=16384,
+    train = SensorSimLoader(n_frames=args.frames, seed=args.seed_base,
+                            n_points=16384,
                             loops=2.5, n_beams=16,
                             beam_fov_deg=(-15.0, 15.0),
                             wedge_deg=200.0, dropout=0.3)
-    val = SensorSimLoader(n_frames=3 * args.frames // 4, seed=1,
+    val = SensorSimLoader(n_frames=3 * args.frames // 4, seed=args.seed_base + 1,
                           n_points=16384, loops=2.5, n_beams=64,
                           beam_fov_deg=(-24.8, 2.0),
                           wedge_deg=200.0, dropout=0.3)
