@@ -23,7 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
-from neural_spectral_codec_tpu.retrieval.retriever import _topk_smallest
+from neural_spectral_codec_tpu.retrieval.retriever import (
+    _dequant_rows, _quantize_cdf, _topk_smallest)
 
 
 def _make_query_fn(mesh: Mesh, top_k: int, metric: str = "wasserstein"):
@@ -36,6 +37,7 @@ def _make_query_fn(mesh: Mesh, top_k: int, metric: str = "wasserstein"):
         shard = jax.lax.axis_index("data")
         n_local = db_cdf.shape[0]
         base = shard * n_local
+        db_cdf = _dequant_rows(db_cdf)  # uint16 storage mode; f32 no-op
         if metric == "wasserstein":
             dists = jnp.sum(
                 jnp.abs(db_cdf[None, :, :] - query_cdf[:, None, :]), axis=2)
@@ -76,10 +78,18 @@ class ShardedWassersteinRetriever:
 
     def __init__(self, mesh: Mesh, n_bins: int = 800,
                  capacity: int = 100_000, epsilon: float = 1e-8,
-                 metric: str = "wasserstein"):
+                 metric: str = "wasserstein", storage: str = "float32"):
         if metric not in ("wasserstein", "l2"):
             raise ValueError(f"unknown metric: {metric}")
+        if storage not in ("float32", "uint16"):
+            raise ValueError(f"unknown storage: {storage}")
+        if storage == "uint16" and metric != "wasserstein":
+            raise ValueError(
+                "uint16 storage quantizes CDFs in [0, 1]; the l2 metric "
+                "stores unbounded raw vectors — use storage='float32'")
         self.metric = metric
+        self.storage = storage
+        self._row_dtype = jnp.uint16 if storage == "uint16" else jnp.float32
         self.mesh = mesh
         self.n_devices = mesh.shape["data"]
         # capacity rounded up so every shard slab is equal
@@ -89,7 +99,7 @@ class ShardedWassersteinRetriever:
         self.database_size = 0
         sh_rows = NamedSharding(mesh, P("data", None))
         self._db_cdf = jax.device_put(
-            jnp.zeros((self.capacity, n_bins), jnp.float32), sh_rows)
+            jnp.zeros((self.capacity, n_bins), self._row_dtype), sh_rows)
         self._db_pos = jax.device_put(
             jnp.zeros((self.capacity, 3), jnp.float32), sh_rows)
         self._query_fns = {}
@@ -98,6 +108,16 @@ class ShardedWassersteinRetriever:
         self._buffer_lock = threading.Lock()
 
     def _encode_rows(self, vectors: jnp.ndarray) -> jnp.ndarray:
+        """Storage encoding for DATABASE rows (quantized under uint16
+        storage). Queries use :meth:`_encode_query` instead — they stay
+        fp32 regardless of storage, matching the unsharded retriever
+        (only the big scanned buffer is quantized)."""
+        cdf = self._encode_query(vectors)
+        if self.storage == "uint16":
+            return _quantize_cdf(cdf)
+        return cdf
+
+    def _encode_query(self, vectors: jnp.ndarray) -> jnp.ndarray:
         if self.metric == "wasserstein":
             return histogram_cdf(vectors, self.epsilon)
         return vectors
@@ -189,7 +209,7 @@ class ShardedWassersteinRetriever:
         if k not in self._query_fns:
             self._query_fns[k] = _make_query_fn(self.mesh, k, self.metric)
         q = jnp.asarray(np.atleast_2d(np.asarray(query_hists, np.float32)))
-        q_cdf = self._encode_rows(q)
+        q_cdf = self._encode_query(q)
         qn = q.shape[0]
         qp = np.zeros((qn, 4), np.float32)
         if query_positions is not None and spatial_min_distance > 0:
@@ -222,7 +242,7 @@ class ShardedWassersteinRetriever:
             self.database_size = 0
             sh_rows = NamedSharding(self.mesh, P("data", None))
             self._db_cdf = jax.device_put(
-                jnp.zeros((self.capacity, self.n_bins), jnp.float32),
+                jnp.zeros((self.capacity, self.n_bins), self._row_dtype),
                 sh_rows)
             self._db_pos = jax.device_put(
                 jnp.zeros((self.capacity, 3), jnp.float32), sh_rows)

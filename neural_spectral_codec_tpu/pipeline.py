@@ -280,8 +280,17 @@ class NeuralSpectralCodecPipeline:
         stage1_metric = ("l2" if (self.use_embeddings_for_retrieval
                                   or not r.get("use_wasserstein", True))
                          else "wasserstein")
+        # retrieval.storage = "uint16" packs the stage-1 database into
+        # fixed-point CDF codes (half the HBM, 2x capacity; W1 only —
+        # the L2/embedding mode needs unbounded fp32 rows)
+        stage1_storage = r.get("storage", "float32")
+        if stage1_metric != "wasserstein" and stage1_storage != "float32":
+            logger.warning("retrieval.storage=%s requires the W1 metric; "
+                           "using float32 rows", stage1_storage)
+            stage1_storage = "float32"
         self.retrieval = TwoStageRetrieval(
             stage1_metric=stage1_metric,
+            stage1_storage=stage1_storage,
             top_k=r.get("top_k", 10),
             # loop_closing.min_loop_distance is the reference-surface
             # alias for the stage-1 spatial exclusion radius

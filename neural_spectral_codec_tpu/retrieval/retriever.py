@@ -15,6 +15,11 @@ ENTIRE database (two_stage_retrieval.py:158-201). TPU-first redesign:
   * Queries are O(capacity · n_bins) streaming reads — HBM-bandwidth bound;
     ~100k × 800 fp32 ≈ 320 MB/query ≈ sub-ms on v5e vs the reference's
     27 ms target.
+  * Optional ``storage="uint16"``: CDF rows stored as fixed-point codes,
+    dequantized inside the fused query kernel — halves the scanned bytes
+    (the whole cost model above), doubling both capacity per chip and
+    bandwidth-bound query speed for a ~6e-3 W₁ error bound (see
+    ``_CDF_QUANT``).
 """
 
 from __future__ import annotations
@@ -28,6 +33,33 @@ import jax.numpy as jnp
 import numpy as np
 
 from neural_spectral_codec_tpu.ops.wasserstein import histogram_cdf
+
+# uint16 CDF storage: CDFs are monotone in [0, 1], so a fixed-point
+# uint16 code (round(cdf * 65535)) stores them with per-bin error
+# <= 0.5/65535 ~ 7.6e-6 and NO per-row scale metadata. The W1 distance
+# error against fp32 storage is bounded by n_bins * 0.5/65535 (~6.1e-3
+# at 800 bins) — orders of magnitude below typical inter-place W1
+# distances — while halving the database's HBM footprint: the query
+# scan is HBM-bandwidth bound (module docstring), so 2x less bytes is
+# ~2x more capacity AND ~2x faster scans per chip. (Different scheme
+# from ops/quantization.py, which quantizes histogram MASS with
+# exact-sum redistribution for serialization; here we quantize the CDF
+# for in-device search.)
+_CDF_QUANT = 65535.0
+
+
+def _quantize_cdf(cdf: jnp.ndarray) -> jnp.ndarray:
+    return jnp.round(cdf * _CDF_QUANT).astype(jnp.uint16)
+
+
+def _dequant_rows(db_rows: jnp.ndarray) -> jnp.ndarray:
+    """Dequantize uint16 CDF rows inside the query kernel; fp32 rows pass
+    through. The dtype branch resolves at trace time (jit specializes on
+    the buffer dtype), and XLA fuses the convert+scale into the distance
+    computation, so the HBM read stays uint16-sized."""
+    if db_rows.dtype == jnp.uint16:
+        return db_rows.astype(jnp.float32) * jnp.float32(1.0 / _CDF_QUANT)
+    return db_rows
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -85,6 +117,7 @@ def _query_batch_kernel(db_rows, db_pos, size, queries, query_pos_and_filters,
     difference = 1-D W₁.
     metric="l2": rows/queries are raw vectors (e.g. GNN embeddings)."""
     n = db_rows.shape[0]
+    db_rows = _dequant_rows(db_rows)
     if metric == "wasserstein":
         q = histogram_cdf(queries, epsilon)
         dists = jnp.sum(jnp.abs(db_rows[None, :, :] - q[:, None, :]), axis=2)
@@ -111,6 +144,7 @@ def _query_kernel(db_rows, db_pos, size, query, query_pos_and_filter, top_k,
     min_spatial_distance]; min_spatial_distance ≤ 0 disables the spatial
     filter."""
     n = db_rows.shape[0]
+    db_rows = _dequant_rows(db_rows)
     if metric == "wasserstein":
         q = histogram_cdf(query, epsilon)
         dists = jnp.sum(jnp.abs(db_rows - q[None, :]), axis=1)
@@ -133,18 +167,33 @@ class WassersteinRetriever:
     and ranks by 1-D W₁ — the reference's stage-1 metric on raw spectral
     descriptors. ``metric="l2"`` stores raw vectors and ranks by L2 — for
     GNN-enhanced embeddings, which are not histograms (they carry the
-    input residual and may be negative)."""
+    input residual and may be negative).
+
+    ``storage="uint16"`` stores the CDF rows as fixed-point uint16 codes
+    (W₁ metric only — CDFs are canonically in [0, 1]): half the device
+    memory, so 2× the descriptors per chip, and ~2× less HBM traffic on
+    the bandwidth-bound query scan. Ranking error is bounded by
+    n_bins·0.5/65535 (~6e-3 W₁ at 800 bins; see ``_CDF_QUANT``)."""
 
     def __init__(self, n_bins: int = 800, capacity: int = 100_000,
-                 epsilon: float = 1e-8, metric: str = "wasserstein"):
+                 epsilon: float = 1e-8, metric: str = "wasserstein",
+                 storage: str = "float32"):
         if metric not in ("wasserstein", "l2"):
             raise ValueError(f"unknown metric: {metric}")
+        if storage not in ("float32", "uint16"):
+            raise ValueError(f"unknown storage: {storage}")
+        if storage == "uint16" and metric != "wasserstein":
+            raise ValueError(
+                "uint16 storage quantizes CDFs in [0, 1]; the l2 metric "
+                "stores unbounded raw vectors — use storage='float32'")
         self.n_bins = n_bins
         self.capacity = capacity
         self.epsilon = epsilon
         self.metric = metric
+        self.storage = storage
+        self._row_dtype = jnp.uint16 if storage == "uint16" else jnp.float32
         self.database_size = 0
-        self._db_cdf = jnp.zeros((capacity, n_bins), jnp.float32)
+        self._db_cdf = jnp.zeros((capacity, n_bins), self._row_dtype)
         self._db_pos = jnp.zeros((capacity, 3), jnp.float32)
         # guards the donated-buffer window: inserts DONATE _db_cdf/_db_pos
         # (in-place XLA update), which deletes the old array object — a
@@ -156,7 +205,10 @@ class WassersteinRetriever:
 
     def _encode_rows(self, vectors: jnp.ndarray) -> jnp.ndarray:
         if self.metric == "wasserstein":
-            return histogram_cdf(vectors, self.epsilon)
+            cdf = histogram_cdf(vectors, self.epsilon)
+            if self.storage == "uint16":
+                return _quantize_cdf(cdf)
+            return cdf
         return vectors
 
     def add_to_database(self, histograms: np.ndarray,
@@ -293,5 +345,5 @@ class WassersteinRetriever:
         with self._buffer_lock:
             self.database_size = 0
             self._db_cdf = jnp.zeros((self.capacity, self.n_bins),
-                                     jnp.float32)
+                                     self._row_dtype)
             self._db_pos = jnp.zeros((self.capacity, 3), jnp.float32)

@@ -42,6 +42,7 @@ class TwoStageRetrieval:
                  verification_max_points: int = 4096,
                  verification_backend: str = "auto",
                  stage1_metric: str = "wasserstein",
+                 stage1_storage: str = "float32",
                  parallel_verification: bool = False,
                  verification_workers: int = 4,
                  mesh=None):
@@ -49,7 +50,13 @@ class TwoStageRetrieval:
         database across devices (ShardedWassersteinRetriever — local
         top-k per shard slab + one small all-gather over ICI); the rest
         of the two-stage surface is unchanged (configs key
-        ``parallel.shard_retrieval_db``)."""
+        ``parallel.shard_retrieval_db``).
+
+        ``stage1_storage="uint16"`` stores the stage-1 database as
+        fixed-point uint16 CDF codes (configs key ``retrieval.storage``,
+        W₁ metric only): half the device memory / 2× the capacity per
+        chip, ranking error bounded well below inter-place distances —
+        see ``retrieval.retriever._CDF_QUANT``."""
         self.top_k = top_k
         self.spatial_filter_distance = spatial_filter_distance
         self.context_window = context_window
@@ -59,11 +66,12 @@ class TwoStageRetrieval:
                 ShardedWassersteinRetriever)
             self.retriever = ShardedWassersteinRetriever(
                 mesh, n_bins=n_bins, capacity=capacity,
-                metric=stage1_metric)
+                metric=stage1_metric, storage=stage1_storage)
         else:
             self.retriever = WassersteinRetriever(n_bins=n_bins,
                                                   capacity=capacity,
-                                                  metric=stage1_metric)
+                                                  metric=stage1_metric,
+                                                  storage=stage1_storage)
         self.verifier = GeometricVerifier(
             method=verification_method,
             fitness_threshold=fitness_threshold,

@@ -69,6 +69,7 @@ _SCHEMA = {
     ("gnn", "n_layers"): (int, (1, 64)),
     ("gnn", "dropout"): ((int, float), (0.0, 1.0)),
     ("retrieval", "top_k"): (int, (1, 10000)),
+    ("retrieval", "storage"): (str, None),
     ("retrieval", "spatial_filter_distance"): ((int, float), (0.0, 1e6)),
     ("retrieval", "icp_fitness_threshold"): ((int, float), (0.0, 1.0)),
     ("retrieval", "icp_rmse_threshold"): ((int, float), (0.0, 1e3)),

@@ -401,3 +401,36 @@ def test_pipeline_config_shards_retrieval_db(tmp_path, rng):
     cfg.setdefault("parallel", {})["shard_retrieval_db"] = True
     pipe = NeuralSpectralCodecPipeline(cfg)
     assert isinstance(pipe.retrieval.retriever, ShardedWassersteinRetriever)
+
+
+def test_sharded_retriever_quantized_matches_unsharded(rng):
+    """uint16 storage in the row-sharded retriever: identical ranking and
+    bit-identical distances vs the unsharded uint16 retriever (both
+    dequantize the same codes), and top-k parity vs fp32 storage."""
+    n, bins = 64, 50
+    hists = rng.random((n, bins), dtype=np.float32)
+    hists /= hists.sum(axis=1, keepdims=True)
+    pos = rng.random((n, 3), dtype=np.float32) * 100
+
+    mesh = create_mesh(8)
+    sharded = ShardedWassersteinRetriever(mesh, n_bins=bins, capacity=64,
+                                          storage="uint16")
+    plain16 = WassersteinRetriever(n_bins=bins, capacity=64,
+                                   storage="uint16")
+    plain32 = WassersteinRetriever(n_bins=bins, capacity=64)
+    for r in (sharded, plain16, plain32):
+        r.add_to_database(hists, pos)
+    assert sharded._db_cdf.dtype == np.uint16
+
+    q, qp = hists[7], pos[7]
+    i_s, d_s = sharded.query(q, top_k=5, query_position=qp,
+                             spatial_min_distance=20.0)
+    i_16, d_16 = plain16.query(q, top_k=5, query_position=qp,
+                               spatial_min_distance=20.0)
+    i_32, d_32 = plain32.query(q, top_k=5, query_position=qp,
+                               spatial_min_distance=20.0)
+    assert set(i_s.tolist()) == set(i_16.tolist()) == set(i_32.tolist())
+    np.testing.assert_allclose(np.sort(d_s), np.sort(d_16),
+                               rtol=1e-6, atol=1e-7)
+    bound = bins * 0.5 / 65535.0
+    assert np.max(np.abs(np.sort(d_s) - np.sort(d_32))) <= bound + 1e-6

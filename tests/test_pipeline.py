@@ -415,3 +415,18 @@ def test_pipeline_honors_ring_major_config():
     pipe = NeuralSpectralCodecPipeline(
         {"encoding": {"ring_major": True}})
     assert isinstance(pipe.encoder, RingMajorBatchEncoder)
+
+
+def test_pipeline_quantized_storage_config(tmp_path):
+    """retrieval.storage flows from the config into the stage-1 database;
+    incompatible metric (use_embeddings -> L2) falls back to float32 with
+    a warning instead of crashing."""
+    cfg = small_config(tmp_path, retrieval={"storage": "uint16"})
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    assert pipe.retrieval.retriever.storage == "uint16"
+    assert pipe.retrieval.retriever._db_cdf.dtype == np.uint16
+
+    cfg2 = small_config(tmp_path, retrieval={"storage": "uint16",
+                                             "use_embeddings": True})
+    pipe2 = NeuralSpectralCodecPipeline(cfg2)
+    assert pipe2.retrieval.retriever.storage == "float32"

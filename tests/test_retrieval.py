@@ -463,3 +463,76 @@ def test_tiled_topk_exact(rng):
         np.testing.assert_array_equal(
             np.take_along_axis(d, np.asarray(got_i), -1),
             np.take_along_axis(d, np.asarray(ref_i), -1))
+
+
+# ---------------------------------------------------------------- uint16
+
+
+def test_quantized_storage_topk_parity(rng):
+    """uint16 CDF storage must return the same ranking as fp32 storage on
+    realistic descriptor sets: the quantization error bound (n_bins *
+    0.5/65535 ~ 6e-3 W1 at 800 bins) is far below inter-place W1
+    distances, so top-k indices agree and distances match to the bound."""
+    db = _hists(rng, 400, d=800)
+    q = _hists(rng, 8, d=800)
+    pos = rng.random((400, 3)).astype(np.float32) * 500
+
+    r32 = WassersteinRetriever(n_bins=800, capacity=512)
+    r16 = WassersteinRetriever(n_bins=800, capacity=512, storage="uint16")
+    for r in (r32, r16):
+        r.add_to_database(db, pos)
+
+    i32, d32 = r32.query_batch(q, top_k=5)
+    i16, d16 = r16.query_batch(q, top_k=5)
+    np.testing.assert_array_equal(i32, i16)
+    bound = 800 * 0.5 / 65535.0
+    assert np.max(np.abs(d32 - d16)) <= bound + 1e-6
+    # single-query path too
+    si32, sd32 = r32.query(q[0], top_k=5)
+    si16, sd16 = r16.query(q[0], top_k=5)
+    np.testing.assert_array_equal(si32, si16)
+    assert np.max(np.abs(sd32 - sd16)) <= bound + 1e-6
+
+
+def test_quantized_storage_memory_halved():
+    r32 = WassersteinRetriever(n_bins=800, capacity=1000)
+    r16 = WassersteinRetriever(n_bins=800, capacity=1000, storage="uint16")
+    assert r16._db_cdf.dtype == np.uint16
+    assert r16._db_cdf.nbytes * 2 == r32._db_cdf.nbytes
+    r16.clear_database()
+    assert r16._db_cdf.dtype == np.uint16  # dtype survives clear
+
+
+def test_quantized_storage_l2_rejected():
+    with pytest.raises(ValueError, match="uint16"):
+        WassersteinRetriever(n_bins=64, capacity=16, metric="l2",
+                             storage="uint16")
+    with pytest.raises(ValueError, match="storage"):
+        WassersteinRetriever(n_bins=64, capacity=16, storage="int8")
+
+
+def test_quantized_storage_update_rows(rng):
+    db = _hists(rng, 50, d=100)
+    r = WassersteinRetriever(n_bins=100, capacity=64, storage="uint16")
+    r.add_to_database(db)
+    # overwrite row 7 with row 0's histogram: a query with row 0's
+    # histogram must now return both at ~zero distance
+    r.update_rows(np.array([7]), db[0:1])
+    idx, dist = r.query(db[0], top_k=2)
+    assert set(idx.tolist()) == {0, 7}
+    assert np.max(dist) <= 100 * 0.5 / 65535.0 + 1e-6
+
+
+def test_quantized_storage_spatial_filter_and_exclude(rng):
+    """Masking semantics (spatial exclusion, exclude_last, as_of_size) are
+    independent of the storage dtype."""
+    db = _hists(rng, 60, d=50)
+    pos = np.zeros((60, 3), np.float32)
+    pos[:, 0] = np.arange(60)
+    r = WassersteinRetriever(n_bins=50, capacity=64, storage="uint16")
+    r.add_to_database(db, pos)
+    idx, _ = r.query(db[10], top_k=3, query_position=pos[10],
+                     spatial_min_distance=5.0)
+    assert 10 not in idx and all(abs(i - 10) >= 5 for i in idx)
+    idx2, _ = r.query(db[59], top_k=60, exclude_last=10)
+    assert idx2.max() < 50
