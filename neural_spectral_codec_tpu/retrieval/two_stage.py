@@ -8,6 +8,7 @@ Stage 2 — geometric verification of the top-k candidates.
 
 from __future__ import annotations
 
+import logging
 import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -94,6 +95,7 @@ class TwoStageRetrieval:
         # ~200 KB/entry at the 4096-point budget)
         self._prep_cache: Dict[int, "PreparedCloud"] = {}
         self._prep_cache_max = 1024
+        self._capacity_warned = False
         self._prep_lock = threading.Lock()   # workers share the cache
 
     def _stage1_vector(self, keyframe: Keyframe) -> np.ndarray:
@@ -104,13 +106,30 @@ class TwoStageRetrieval:
             return keyframe.embedding
         return keyframe.descriptor
 
-    def add_keyframe(self, keyframe: Keyframe) -> None:
+    def add_keyframe(self, keyframe: Keyframe) -> bool:
+        """Insert a keyframe into the stage-1 database. Returns False —
+        WITHOUT inserting or tracking the keyframe — when the database is
+        full, so a long-running online pipeline degrades (no new loop
+        closure candidates past capacity) instead of crashing at keyframe
+        capacity+1. The reference's ``max_database_size``
+        (inference.yaml:29) is configured but never enforced — its
+        database grows unbounded; here capacity is a real preallocated
+        device buffer, so enforcement has to be explicit."""
         if keyframe.descriptor is None:
             raise ValueError("Keyframe must have descriptor before adding to database")
+        if self.retriever.database_size >= self.retriever.capacity:
+            if not self._capacity_warned:
+                logging.getLogger(__name__).warning(
+                    "stage-1 database full (%d); new keyframes will not be "
+                    "retrievable as loop-closure candidates",
+                    self.retriever.capacity)
+                self._capacity_warned = True
+            return False
         self.keyframes.append(keyframe)
         pos = keyframe.pose[:3, 3] if keyframe.pose is not None else np.zeros(3)
         self.retriever.add_to_database(
             self._stage1_vector(keyframe).reshape(1, -1), pos.reshape(1, 3))
+        return True
 
     def refresh_keyframes(self, database_indices) -> None:
         """Re-encode already-inserted rows from their keyframes' CURRENT
@@ -241,6 +260,7 @@ class TwoStageRetrieval:
     def clear_database(self) -> None:
         self.keyframes.clear()
         self.retriever.clear_database()
+        self._capacity_warned = False
         # preps are keyed by database row — stale after a clear
         with self._prep_lock:
             self._prep_cache.clear()
@@ -281,13 +301,16 @@ class TwoStageRetrieval:
         db = DescriptorDatabaseFile(path, n_bins=self.retriever.n_bins)
         records = db.read_all()
         self.clear_database()
+        loaded = 0
         for rec in records:
             hist, pose, ts, kf_id = decompress_descriptor(rec)
             kf = Keyframe(keyframe_id=kf_id, scan_id=kf_id, points=None,
                           pose=pose, timestamp=ts,
                           descriptor=hist.astype(np.float32))
-            self.add_keyframe(kf)
-        return len(records)
+            # a store larger than this instance's capacity loads its first
+            # `capacity` records (add_keyframe returns False past that)
+            loaded += bool(self.add_keyframe(kf))
+        return loaded
 
 
 def create_two_stage_retrieval(top_k: int = 10,

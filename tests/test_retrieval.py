@@ -536,3 +536,32 @@ def test_quantized_storage_spatial_filter_and_exclude(rng):
     assert 10 not in idx and all(abs(i - 10) >= 5 for i in idx)
     idx2, _ = r.query(db[59], top_k=60, exclude_last=10)
     assert idx2.max() < 50
+
+
+def test_capacity_degrades_gracefully(rng):
+    """A full stage-1 database rejects new keyframes (returns False) but
+    keeps serving queries — a long online run degrades instead of
+    crashing at keyframe capacity+1. (The reference configures
+    max_database_size but never enforces it; here capacity is a real
+    preallocated device buffer.)"""
+    from neural_spectral_codec_tpu.keyframe.selector import Keyframe
+
+    r = TwoStageRetrieval(n_bins=30, capacity=4, spatial_filter_distance=0.0)
+
+    def kf(i):
+        h = rng.random(30).astype(np.float32)
+        h /= h.sum()
+        pose = np.eye(4)
+        pose[:3, 3] = [i * 10.0, 0, 0]
+        return Keyframe(keyframe_id=i, scan_id=i,
+                        points=rng.random((50, 4)).astype(np.float32),
+                        pose=pose, timestamp=float(i), descriptor=h)
+
+    for i in range(4):
+        assert r.add_keyframe(kf(i)) is True
+    assert r.add_keyframe(kf(4)) is False          # full: rejected
+    assert len(r.keyframes) == 4                   # not tracked either
+    idx, dist = r.retriever.query(r.keyframes[2].descriptor, top_k=2)
+    assert idx[0] == 2                             # queries still work
+    r.clear_database()
+    assert r.add_keyframe(kf(9)) is True           # capacity freed
