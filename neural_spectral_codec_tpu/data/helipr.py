@@ -100,6 +100,11 @@ class HeLiPRLoader:
             self._load_velodyne(self.scan_files[idx])
             if self.lazy_load else self.point_clouds[idx]
         )
+        return self._assemble(idx, points)
+
+    def _assemble(self, idx: int, points: np.ndarray) -> dict:
+        """Item dict for already-decoded points (shared with the native
+        prefetch path, data/native_io.py)."""
         return {
             "points": points,
             "pose": self.scan_poses[idx],

@@ -69,6 +69,11 @@ class KITTILoader:
         points = (
             self._load_point_cloud(idx) if self.lazy_load else self.point_clouds[idx]
         )
+        return self._assemble(idx, points)
+
+    def _assemble(self, idx: int, points: np.ndarray) -> dict:
+        """Item dict for already-decoded points (shared with the native
+        prefetch path, data/native_io.py)."""
         out = {"points": points, "timestamp": self.timestamps[idx], "idx": idx}
         if self.poses is not None:
             out["pose"] = self.poses[idx]

@@ -129,6 +129,11 @@ class NCLTLoader:
         points = (
             self._load_point_cloud(idx) if self.lazy_load else self.point_clouds[idx]
         )
+        return self._assemble(idx, points)
+
+    def _assemble(self, idx: int, points: np.ndarray) -> dict:
+        """Item dict for already-decoded points (shared with the native
+        prefetch path, data/native_io.py)."""
         pose = (
             self.poses[idx]
             if self.poses is not None and idx < len(self.poses)

@@ -1,0 +1,168 @@
+"""ctypes bindings for the native IO library (native/nsc_io.cpp).
+
+Record decode + threaded in-order file prefetch for the three dataset
+formats (KITTI / NCLT 12-byte / HeLiPR 22-byte). Decode is bit-identical
+to the numpy loaders in ``data/`` (the library is compiled with
+-ffp-contract=off); every entry point has the plain loaders as fallback,
+and ``available()`` reports whether the native path is usable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libnsc_io.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+FORMAT_KITTI = 0
+FORMAT_NCLT = 1
+FORMAT_HELIPR = 2
+
+STATUS_OK = 0
+STATUS_READ_ERROR = 1
+STATUS_BAD_SIZE = 2
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception as e:  # missing toolchain, etc.
+        logger.warning("native IO build failed, using numpy loaders: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB_PATH.exists() and not _build():
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.nsc_decode.restype = ctypes.c_int64
+        lib.nsc_decode.argtypes = [
+            ctypes.c_int, _u8p, ctypes.c_int64, _f32p, ctypes.c_int64]
+        lib.nsc_prefetch_create.restype = ctypes.c_void_p
+        lib.nsc_prefetch_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib.nsc_prefetch_peek.restype = ctypes.c_int
+        lib.nsc_prefetch_peek.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, _i64p]
+        lib.nsc_prefetch_take.restype = ctypes.c_int
+        lib.nsc_prefetch_take.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, _f32p]
+        lib.nsc_prefetch_destroy.restype = None
+        lib.nsc_prefetch_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode(format_id: int, raw: bytes) -> np.ndarray:
+    """Decode raw record bytes to an (n, 4) float32 [x, y, z, i] array.
+
+    Raises ValueError on a format/size mismatch (mirroring the numpy
+    loaders' reshape failure for misaligned KITTI files)."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    cap = len(raw) // 12 + 1  # >= record count of any format
+    out = np.empty((cap, 4), dtype=np.float32)
+    n = lib.nsc_decode(
+        format_id, buf.ctypes.data_as(_u8p), len(raw),
+        out.ctypes.data_as(_f32p), cap)
+    if n == -2:
+        raise ValueError(f"byte count {len(raw)} incompatible with format "
+                         f"{format_id}")
+    assert n >= 0
+    return out[:n].copy()
+
+
+class NativePrefetcher:
+    """Threaded in-order read-ahead over a list of record files.
+
+    Items MUST be consumed strictly in order via :meth:`get`. ``get``
+    returns ``(status, points)``; points is None unless status is
+    STATUS_OK. Always :meth:`close` (or use as a context manager) —
+    worker threads block waiting for the consumer otherwise.
+    """
+
+    def __init__(self, paths: Sequence[str], format_id: int,
+                 n_threads: int = 4, depth: int = 8):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native IO library unavailable")
+        self._lib = lib
+        self._n = len(paths)
+        arr = (ctypes.c_char_p * self._n)(
+            *[str(p).encode() for p in paths])
+        self._handle = lib.nsc_prefetch_create(
+            arr, self._n, format_id, n_threads, depth)
+        if not self._handle:
+            raise RuntimeError("nsc_prefetch_create failed")
+        self._next = 0
+
+    def get(self, idx: int) -> Tuple[int, Optional[np.ndarray]]:
+        if self._handle is None:
+            raise RuntimeError("prefetcher is closed")
+        if idx != self._next or idx >= self._n:
+            raise RuntimeError(
+                f"prefetcher items must be consumed in order: asked for "
+                f"{idx}, next is {self._next} of {self._n}")
+        n_points = ctypes.c_int64()
+        status = self._lib.nsc_prefetch_peek(
+            self._handle, idx, ctypes.byref(n_points))
+        assert status >= 0, "peek protocol violation"
+        points = None
+        if status == STATUS_OK:
+            points = np.empty((n_points.value, 4), dtype=np.float32)
+            rc = self._lib.nsc_prefetch_take(
+                self._handle, idx,
+                points.ctypes.data_as(_f32p) if n_points.value else None)
+        else:
+            rc = self._lib.nsc_prefetch_take(self._handle, idx, None)
+        assert rc == 0, "take protocol violation"
+        self._next += 1
+        return status, points
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.nsc_prefetch_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

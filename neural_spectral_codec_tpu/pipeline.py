@@ -328,27 +328,42 @@ class NeuralSpectralCodecPipeline:
         new_kfs: List[Keyframe] = []
         n_skipped = 0
         check_poses = cfg_get(self.config, "quality.validate_poses", False)
-        with self.profiler.profile(f"select_seq{sequence_id}"):
-            for scan_id in range(len(loader)):
-                try:
-                    frame = loader[scan_id]
-                    if check_poses and not is_valid_transformation(
-                            np.asarray(frame["pose"], np.float64)):
+        # native read-ahead (data/native_io.py): C++ workers decode scans
+        # ahead of selection; None -> plain indexing, same semantics.
+        # io_prefetch: "auto" (decode-bound formats) | "always" | "off",
+        # with booleans accepted as always/off
+        mode = cfg_get(self.config, "system.io_prefetch", "auto")
+        if isinstance(mode, bool):
+            mode = "always" if mode else "off"
+        from neural_spectral_codec_tpu.data.native_io import FramePrefetcher
+        prefetcher = FramePrefetcher.create(loader, mode=mode)
+        try:
+            with self.profiler.profile(f"select_seq{sequence_id}"):
+                for scan_id in range(len(loader)):
+                    try:
+                        frame = (prefetcher.get(scan_id)
+                                 if prefetcher is not None
+                                 else loader[scan_id])
+                        if check_poses and not is_valid_transformation(
+                                np.asarray(frame["pose"], np.float64)):
+                            n_skipped += 1
+                            logger.warning("Skipping scan %d: invalid SE(3) "
+                                           "pose", scan_id)
+                            continue
+                        selected, kf, _ = sel.process_scan(
+                            scan_id, frame["points"], frame["pose"],
+                            frame["timestamp"], sequence_id=sequence_id)
+                    except Exception as e:
+                        # corrupt scans are logged and skipped, like the
+                        # reference (train_multi_dataset.py:163-190)
                         n_skipped += 1
-                        logger.warning("Skipping scan %d: invalid SE(3) "
-                                       "pose", scan_id)
+                        logger.warning("Skipping scan %d: %s", scan_id, e)
                         continue
-                    selected, kf, _ = sel.process_scan(
-                        scan_id, frame["points"], frame["pose"],
-                        frame["timestamp"], sequence_id=sequence_id)
-                except Exception as e:
-                    # corrupt scans are logged and skipped, like the
-                    # reference (train_multi_dataset.py:163-190)
-                    n_skipped += 1
-                    logger.warning("Skipping scan %d: %s", scan_id, e)
-                    continue
-                if selected:
-                    new_kfs.append(kf)
+                    if selected:
+                        new_kfs.append(kf)
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
         if n_skipped:
             logger.warning("Sequence %d: skipped %d corrupt scans",
                            sequence_id, n_skipped)
