@@ -691,8 +691,17 @@ class NeuralSpectralCodecPipeline:
             self.config, "deployment.fused_encode", True)
         placeholder = np.zeros(self.encoder_config.output_dim, np.float32)
 
+        # native read-ahead for offline stream replay (same gating as
+        # _process_sequence; live sensor feeds don't go through loaders)
+        _mode = cfg_get(self.config, "system.io_prefetch", "auto")
+        if isinstance(_mode, bool):
+            _mode = "always" if _mode else "off"
+        from neural_spectral_codec_tpu.data.native_io import FramePrefetcher
+        _prefetcher = FramePrefetcher.create(loader, mode=_mode)
+
         for scan_id in range(len(loader)):
-            frame = loader[scan_id]
+            frame = (_prefetcher.get(scan_id) if _prefetcher is not None
+                     else loader[scan_id])
             with self.profiler.profile("select"):
                 selected, kf, _ = self.selector.process_scan(
                     scan_id, frame["points"], frame["pose"],
@@ -775,6 +784,8 @@ class NeuralSpectralCodecPipeline:
                         if k in tot),
                     self.retrieval.retriever.database_size)
 
+        if _prefetcher is not None:
+            _prefetcher.close()  # exceptional paths close via GC finalizer
         if executor is not None:
             _harvest(block=True)   # drain in-flight background queries
             executor.shutdown(wait=True)

@@ -152,6 +152,41 @@ def test_prefetcher_mode_selection(tmp_path):
     assert FramePrefetcher.create(nclt, mode="off") is None
 
 
+def test_run_online_prefetch_invariant(tmp_path):
+    """Online stream replay from a disk KITTI sequence selects identical
+    keyframes and descriptors with the native prefetcher on and off."""
+    from test_pipeline import small_config
+
+    from neural_spectral_codec_tpu.data.synthetic import SyntheticLoader
+    from neural_spectral_codec_tpu.pipeline import (
+        NeuralSpectralCodecPipeline)
+
+    src = SyntheticLoader(n_frames=30, seed=0, n_points=4096, loops=2.0)
+    seq = tmp_path / "data" / "sequences" / "00"
+    (seq / "velodyne").mkdir(parents=True)
+    rows = []
+    for i in range(len(src)):
+        item = src[i]
+        item["points"].astype(np.float32).tofile(
+            seq / "velodyne" / f"{i:06d}.bin")
+        rows.append(" ".join(str(v) for v in item["pose"][:3].reshape(-1)))
+    (seq / "poses.txt").write_text("\n".join(rows))
+
+    results = []
+    for mode in ("always", "off"):
+        cfg = small_config(tmp_path / mode)
+        cfg["system"]["io_prefetch"] = mode
+        pipe = NeuralSpectralCodecPipeline(cfg)
+        loader = KITTILoader(str(tmp_path / "data"), "00")
+        pipe.run_online(loader, loop_closure_interval=10)
+        results.append(list(pipe.selector.keyframes))
+    on, off = results
+    assert len(on) == len(off) > 0
+    for a, b in zip(on, off):
+        assert a.scan_id == b.scan_id
+        np.testing.assert_array_equal(a.descriptor, b.descriptor)
+
+
 def test_process_sequence_prefetch_invariant(tmp_path):
     """Pipeline keyframe extraction is identical with the native
     prefetcher on (system.io_prefetch default) and off."""
