@@ -227,6 +227,14 @@ class NeuralSpectralCodecPipeline:
             max_points=enc.get("max_points", 131072),
             batch_size=cfg_get(config, "deployment.batch_size", 64))
 
+        # ablation-study flags: the reference DECLARES these
+        # (reference configs/training.yaml:89-93) but no code reads them;
+        # here they actually ablate the respective subsystem
+        ab = config.get("ablation", {})
+        self.ablate_gnn = ab.get("disable_gnn", False)
+        self._ablate_temporal_edges = ab.get("disable_temporal_edges", False)
+        self._ablate_context = ab.get("disable_context", False)
+
         kf = config.get("keyframe", {})
         self.selector = KeyframeSelector(
             distance_threshold=kf.get("distance_threshold", 0.5),
@@ -236,7 +244,8 @@ class NeuralSpectralCodecPipeline:
             voxel_size=kf.get("voxel_size", 0.2),
             max_keyframes=kf.get("max_keyframes", 100_000),
         )
-        self.temporal_neighbors = kf.get("temporal_neighbors", 5)
+        self.temporal_neighbors = (0 if self._ablate_temporal_edges
+                                   else kf.get("temporal_neighbors", 5))
         self.graph_manager = TemporalGraphManager(
             temporal_neighbors=self.temporal_neighbors,
             max_active_nodes=kf.get("max_active_nodes", 1000),
@@ -264,6 +273,11 @@ class NeuralSpectralCodecPipeline:
         # UNUSED, reference pipeline.py:259) to L2-on-GNN-embeddings, the
         # mode the training recall metric actually optimizes
         self.use_embeddings_for_retrieval = r.get("use_embeddings", False)
+        if self.ablate_gnn and self.use_embeddings_for_retrieval:
+            logger.warning("ablation.disable_gnn: retrieval.use_embeddings "
+                           "has no embeddings to use; falling back to raw "
+                           "W1 histograms")
+            self.use_embeddings_for_retrieval = False
         retrieval_mesh = None
         if cfg_get(config, "parallel.shard_retrieval_db", False):
             import jax
@@ -297,7 +311,8 @@ class NeuralSpectralCodecPipeline:
             spatial_filter_distance=r.get(
                 "spatial_filter_distance",
                 cfg_get(config, "loop_closing.min_loop_distance", 50.0)),
-            context_window=r.get("context_window", 10),
+            context_window=(0 if self._ablate_context
+                            else r.get("context_window", 10)),
             fitness_threshold=r.get("icp_fitness_threshold", 0.3),
             rmse_threshold=r.get("icp_rmse_threshold", 0.5),
             verification_method=r.get("verification_method", "gicp"),
@@ -380,6 +395,11 @@ class NeuralSpectralCodecPipeline:
                       n_epochs: Optional[int] = None,
                       resume: Optional[str] = None) -> GNNTrainer:
         """Load → select → encode → graph → train (reference pipeline.py:97-198)."""
+        if self.ablate_gnn:
+            raise ValueError(
+                "ablation.disable_gnn is set: offline GNN training is "
+                "meaningless in this ablation — run the benchmark or "
+                "run_online to evaluate raw histograms")
         tr = self.config.get("training", {})
         trip = self.config.get("triplet", {})
 
@@ -505,13 +525,20 @@ class NeuralSpectralCodecPipeline:
         replay from the cache)."""
         import jax
         t0 = time.perf_counter()
-        if self.params is None:
+        if self.params is None and not self.ablate_gnn:
             self.params, self.batch_stats = init_gnn(
                 self.model, jax.random.key(0))
 
         # encoder: B=1 executable (zeros fail the range gate → the
         # empty-scan path, same compiled shape as any real scan)
         self.encoder.encode_one(np.zeros((64, 4), np.float32))
+
+        if self.ablate_gnn:
+            # raw-histogram ablation: no GNN executables to warm
+            self.retrieval.retriever.warm_query(self.retrieval.top_k)
+            logger.info("warmup: serving executables ready in %.1f s",
+                        time.perf_counter() - t0)
+            return
 
         # local-update buckets: replay a short synthetic session on a
         # scratch manager with the SAME neighbor-slot shapes, through the
@@ -629,14 +656,16 @@ class NeuralSpectralCodecPipeline:
                                  None)
         if checkpoint_path:
             self.load_checkpoint(checkpoint_path)
-        if self.params is None:
+        if self.params is None and not self.ablate_gnn:
             logger.warning("Running online with randomly initialized GNN")
             self.params, self.batch_stats = init_gnn(
                 self.model, jax.random.key(0))
         if cfg_get(self.config, "deployment.warmup", False):
             self.warmup()
-        local_gnn = LocalUpdateGNN(self.model, self.params, self.batch_stats,
-                                   k_hops=self.local_update_hops)
+        local_gnn = (None if self.ablate_gnn else
+                     LocalUpdateGNN(self.model, self.params,
+                                    self.batch_stats,
+                                    k_hops=self.local_update_hops))
 
         if async_loop_closing is None:
             async_loop_closing = cfg_get(
@@ -687,7 +716,7 @@ class NeuralSpectralCodecPipeline:
         # fused serving: encode + local-GNN refresh in ONE device
         # dispatch per keyframe (the split path pays a tunnel round trip
         # for each); only meaningful with local updates enabled
-        fused = self.use_local_updates and cfg_get(
+        fused = (not self.ablate_gnn) and self.use_local_updates and cfg_get(
             self.config, "deployment.fused_encode", True)
         placeholder = np.zeros(self.encoder_config.output_dim, np.float32)
 
@@ -723,7 +752,11 @@ class NeuralSpectralCodecPipeline:
                 with self.profiler.profile("graph_update"):
                     node = self.graph_manager.add_keyframe(kf)
                     refreshed_nodes = []
-                    if self.use_local_updates:
+                    if self.ablate_gnn:
+                        # raw-histogram ablation: graph bookkeeping only,
+                        # descriptors go to retrieval unenhanced
+                        pass
+                    elif self.use_local_updates:
                         refreshed_nodes = local_gnn.update_embeddings_local(
                             self.graph_manager, node) or []
                     else:
