@@ -44,6 +44,12 @@ class EdgeGATLayer(nn.Module):
     edge_dim: Optional[int] = None
     negative_slope: float = 0.2
     attn_dropout: float = 0.0
+    # matmul compute dtype (params stay float32; bfloat16 puts the
+    # transforms and attention contractions on the MXU's native format,
+    # the working `mixed_precision` the reference declares dead at
+    # reference configs/training.yaml:85). Logit masking, softmax, and
+    # the output accumulation stay float32.
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, neighbors: jnp.ndarray,
@@ -52,41 +58,49 @@ class EdgeGATLayer(nn.Module):
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n, D = neighbors.shape
         C = self.features
+        dt = self.compute_dtype or x.dtype
         W = self.param("lin", _glorot, (x.shape[-1], C))
         att_src = self.param("att_src", _glorot, (1, C))[0]
         att_dst = self.param("att_dst", _glorot, (1, C))[0]
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        x = x.astype(dt)
+        W, att_src, att_dst = (p.astype(dt) for p in (W, att_src, att_dst))
 
         h = x @ W                                    # (n, C)
         h_nbr = jnp.take(h, neighbors, axis=0)       # (n, D, C)
-        a_src = h_nbr @ att_src                      # (n, D)
-        a_dst = h @ att_dst                          # (n,)
+        a_src = (h_nbr @ att_src).astype(jnp.float32)  # (n, D)
+        a_dst = (h @ att_dst).astype(jnp.float32)      # (n,)
         logits = a_src + a_dst[:, None]
-        self_logit = h @ att_src + a_dst             # (n,)
+        self_logit = (h @ att_src).astype(jnp.float32) + a_dst   # (n,)
 
         if self.edge_dim is not None and edge_feats is not None:
             We = self.param("lin_edge", _glorot, (self.edge_dim, C))
             att_edge = self.param("att_edge", _glorot, (1, C))[0]
-            e = edge_feats @ We                      # (n, D, C)
-            logits = logits + e @ att_edge
+            We, att_edge = We.astype(dt), att_edge.astype(dt)
+            ef = edge_feats.astype(dt)
+            e = ef @ We                              # (n, D, C)
+            logits = logits + (e @ att_edge).astype(jnp.float32)
             # self-loop edge feature = mean of valid incoming edge features
             # (zeros for isolated nodes), PyG fill_value='mean'
             cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
             mean_ef = jnp.sum(
-                jnp.where(mask[..., None], edge_feats, 0.0), axis=1) / cnt
-            self_logit = self_logit + (mean_ef @ We) @ att_edge
+                jnp.where(mask[..., None], ef, 0.0), axis=1) / cnt
+            self_logit = self_logit + (
+                (mean_ef @ We) @ att_edge).astype(jnp.float32)
 
         all_logits = jnp.concatenate([logits, self_logit[:, None]], axis=1)
         all_logits = nn.leaky_relu(all_logits, self.negative_slope)
         full_mask = jnp.concatenate(
             [mask, jnp.ones((n, 1), dtype=bool)], axis=1)
         all_logits = jnp.where(full_mask, all_logits, -jnp.inf)
-        alpha = jax.nn.softmax(all_logits, axis=1)
+        alpha = jax.nn.softmax(all_logits, axis=1)   # float32
         if self.attn_dropout > 0.0:
             alpha = nn.Dropout(self.attn_dropout)(
                 alpha, deterministic=deterministic)
         vals = jnp.concatenate([h_nbr, h[:, None, :]], axis=1)  # (n, D+1, C)
-        out = jnp.einsum("nd,ndc->nc", alpha, vals) + bias
+        out = jnp.einsum("nd,ndc->nc", alpha.astype(dt), vals,
+                         preferred_element_type=jnp.float32)
+        out = out + bias
         return out, alpha
 
 
@@ -100,15 +114,23 @@ class SpectralGNN(nn.Module):
     dropout: float = 0.1
     residual: bool = True
     edge_dim: Optional[int] = 2
+    # None = full float32; jnp.bfloat16 runs the Dense/GAT matmuls in
+    # bf16 on the MXU while BatchNorm, softmax, residual adds, loss, and
+    # all stored params/opt state stay float32 (mixed precision done the
+    # TPU way — the reference declares `gpu.mixed_precision` at
+    # configs/training.yaml:85 but nothing reads it)
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, neighbors: jnp.ndarray,
                  mask: jnp.ndarray, edge_feats: Optional[jnp.ndarray] = None,
                  train: bool = False, return_attention: bool = False):
+        dt = self.compute_dtype
         x_input = features
-        x = nn.Dense(self.hidden_dim)(features)
+        x = nn.Dense(self.hidden_dim, dtype=dt)(features)
         x = nn.BatchNorm(use_running_average=not train,
-                         momentum=0.9, epsilon=1e-5)(x)
+                         momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32)(x)
         x = nn.relu(x)
 
         attentions = []
@@ -118,20 +140,24 @@ class SpectralGNN(nn.Module):
                 features=self.hidden_dim,
                 edge_dim=self.edge_dim,
                 attn_dropout=self.dropout,
+                compute_dtype=dt,
             )(x, neighbors, mask, edge_feats, deterministic=not train)
             attentions.append(alpha)
             x = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5)(x)
+                             momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32)(x)
             if i < self.n_layers - 1:
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout)(x, deterministic=not train)
             if self.residual and 0 < i < self.n_layers - 1:
                 x = x + x_prev
 
-        x = nn.Dense(self.output_dim)(x)
+        x = nn.Dense(self.output_dim, dtype=dt)(x).astype(jnp.float32)
         if self.residual:
             if self.input_dim != self.output_dim:
-                x = x + nn.Dense(self.output_dim, name="residual_proj")(x_input)
+                x = x + nn.Dense(self.output_dim, dtype=dt,
+                                 name="residual_proj")(
+                    x_input).astype(jnp.float32)
             else:
                 x = x + x_input
         if return_attention:
@@ -145,11 +171,15 @@ class SpectralGNN(nn.Module):
 def create_spectral_gnn(input_dim: int = 800, hidden_dim: int = 256,
                         output_dim: int = 800, n_layers: int = 3,
                         dropout: float = 0.1, residual: bool = True,
-                        edge_dim: Optional[int] = 2) -> SpectralGNN:
-    """Factory (reference model.py:284-324)."""
+                        edge_dim: Optional[int] = 2,
+                        mixed_precision: bool = False) -> SpectralGNN:
+    """Factory (reference model.py:284-324). ``mixed_precision`` runs the
+    matmuls in bfloat16 (see SpectralGNN.compute_dtype)."""
     return SpectralGNN(input_dim=input_dim, hidden_dim=hidden_dim,
                        output_dim=output_dim, n_layers=n_layers,
-                       dropout=dropout, residual=residual, edge_dim=edge_dim)
+                       dropout=dropout, residual=residual, edge_dim=edge_dim,
+                       compute_dtype=jnp.bfloat16 if mixed_precision
+                       else None)
 
 
 def init_gnn(model: SpectralGNN, rng: jax.Array, n_nodes: int = 8,

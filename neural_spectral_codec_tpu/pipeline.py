@@ -253,6 +253,12 @@ class NeuralSpectralCodecPipeline:
         )
 
         g = config.get("gnn", {})
+        # training.mixed_precision: the TPU analog of the reference's dead
+        # gpu.mixed_precision knob (reference configs/training.yaml:85) —
+        # bf16 matmuls on the MXU, float32 params/BN/softmax/loss
+        import jax.numpy as jnp_
+        mp = cfg_get(config, "training.mixed_precision",
+                     g.get("mixed_precision", False))
         self.model = SpectralGNN(
             input_dim=g.get("input_dim", self.encoder_config.output_dim),
             hidden_dim=g.get("hidden_dim", 256),
@@ -261,6 +267,7 @@ class NeuralSpectralCodecPipeline:
             dropout=g.get("dropout", 0.1),
             residual=g.get("residual", True),
             edge_dim=g.get("edge_dim", 2),
+            compute_dtype=jnp_.bfloat16 if mp else None,
         )
         self.params = None
         self.batch_stats = None

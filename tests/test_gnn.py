@@ -350,3 +350,46 @@ def test_fused_encode_update_matches_split_path():
         if a.embedding is not None:
             np.testing.assert_allclose(b.embedding, a.embedding,
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_mixed_precision_forward_close_to_f32():
+    """bf16 compute (training.mixed_precision) keeps params float32 and
+    the output float32, within bf16 tolerance of the f32 forward."""
+    f32 = SpectralGNN(input_dim=64, hidden_dim=32, output_dim=64,
+                      n_layers=3, edge_dim=2)
+    bf16 = SpectralGNN(input_dim=64, hidden_dim=32, output_dim=64,
+                       n_layers=3, edge_dim=2, compute_dtype=jnp.bfloat16)
+    params, bs = init_gnn(f32, jax.random.key(0))
+    # same parameter pytree drives both (compute dtype is not a param)
+    chex_tree = jax.tree.map(lambda p: p.dtype, params)
+    assert all(d == jnp.float32 for d in jax.tree.leaves(chex_tree))
+    g = _graph(n=16, d=64)
+    out32 = np.asarray(gnn_forward(f32, params, bs, g))
+    out16 = np.asarray(gnn_forward(bf16, params, bs, g))
+    assert out16.dtype == np.float32
+    scale = np.abs(out32).max()
+    assert np.abs(out16 - out32).max() <= 3e-2 * max(scale, 1.0)
+
+
+def test_mixed_precision_trains():
+    """A jitted train step under bf16 compute produces finite grads and
+    float32 batch-stats updates."""
+    model = SpectralGNN(input_dim=32, hidden_dim=16, output_dim=32,
+                        n_layers=3, edge_dim=2,
+                        compute_dtype=jnp.bfloat16)
+    params, bs = init_gnn(model, jax.random.key(0))
+    g = _graph(n=12, d=32)
+
+    def loss_fn(p):
+        out, new_bs = gnn_forward(model, p, bs, g, train=True,
+                                  dropout_rng=jax.random.key(1))
+        return jnp.sum(out ** 2) / out.size, new_bs
+
+    (loss, new_bs), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(grads):
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert all(leaf.dtype == jnp.float32
+               for leaf in jax.tree.leaves(new_bs))
