@@ -139,6 +139,22 @@ def test_prefetcher_refuses_preloaded_and_unknown_loaders(tmp_path):
     assert FramePrefetcher.create(object(), mode="always") is None
 
 
+def test_prefetcher_create_destroy_stress(tmp_path):
+    """Shutdown with workers in every state (reading, blocked on a full
+    ring, done) must never deadlock: repeatedly create, consume a random
+    prefix, and destroy."""
+    _make_kitti(tmp_path, n=24)
+    loader = KITTILoader(str(tmp_path), "00")
+    rng = np.random.default_rng(0)
+    for trial in range(15):
+        pf = FramePrefetcher.create(loader, n_threads=3,
+                                    depth=int(rng.integers(1, 4)),
+                                    mode="always")
+        for i in range(int(rng.integers(0, len(loader) + 1))):
+            pf.get(i)
+        pf.close()
+
+
 def test_prefetcher_mode_selection(tmp_path):
     # "auto" skips KITTI (decode is a bare memcpy) but takes NCLT
     _make_kitti(tmp_path / "k")
