@@ -211,29 +211,43 @@ void* nsc_prefetch_create(const char** paths, int64_t n_paths, int format,
 
 // Block until item `seq` (which must be the next unconsumed index) is
 // decoded. Returns its status; *n_points is valid only for NSC_IO_OK.
-// Returns -1 on out-of-order use.
+// Returns -1 on out-of-order use or after destroy began (a concurrent
+// destroy must be able to unblock a waiting peek, not deadlock it).
 int nsc_prefetch_peek(void* h, int64_t seq, int64_t* n_points) {
   auto* p = (Prefetcher*)h;
   std::unique_lock<std::mutex> lk(p->mu);
   if (seq != p->next_consume || seq >= (int64_t)p->paths.size()) return -1;
   Slot& s = p->slots[seq % p->depth];
-  p->cv_ready.wait(lk, [&] { return s.ready && s.seq == seq; });
+  p->cv_ready.wait(lk, [&] { return p->stop || (s.ready && s.seq == seq); });
+  if (p->stop) return -1;
   *n_points = s.n_points;
   return s.status;
 }
 
 // Copy item `seq` into out ((n_points, 4) float32, from peek) and advance.
 // out may be null when the item errored or is empty. Returns 0, or -1 on
-// protocol misuse (seq not peeked/ready).
+// protocol misuse (seq not peeked/ready, or destroy in progress).
 int nsc_prefetch_take(void* h, int64_t seq, float* out) {
   auto* p = (Prefetcher*)h;
+  const float* src = nullptr;
+  int64_t n_points = 0;
   {
     std::lock_guard<std::mutex> lk(p->mu);
-    if (seq != p->next_consume) return -1;
+    if (p->stop || seq != p->next_consume) return -1;
     Slot& s = p->slots[seq % p->depth];
     if (!s.ready || s.seq != seq) return -1;
-    if (out && s.n_points > 0)
-      memcpy(out, s.data.data(), (size_t)(s.n_points * 4) * sizeof(float));
+    src = s.data.data();
+    n_points = s.n_points;
+  }
+  // between peek and take the consumer exclusively owns the ready slot
+  // (producers wait for next_consume to pass it), so the up-to-2 MB scan
+  // copy runs outside the lock and never stalls publishing workers
+  if (out && n_points > 0)
+    memcpy(out, src, (size_t)(n_points * 4) * sizeof(float));
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    if (p->stop) return -1;
+    Slot& s = p->slots[seq % p->depth];
     s.ready = false;
     s.data.clear();
     s.data.shrink_to_fit();

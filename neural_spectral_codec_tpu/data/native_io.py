@@ -12,6 +12,7 @@ scans) are exactly the Python path's.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 from typing import Optional
 
@@ -89,3 +90,24 @@ class FramePrefetcher:
 
     def __exit__(self, *exc):
         self.close()
+
+
+@contextlib.contextmanager
+def frame_source(loader, config: Optional[dict] = None):
+    """Context manager yielding a ``get(idx)`` callable over ``loader``
+    frames, prefetched natively when ``system.io_prefetch`` allows
+    ("auto" default; booleans mean always/off — unquoted YAML `off`
+    parses as False). Deterministically closes the prefetcher on any
+    exit path. This is the one place the config knob is interpreted."""
+    from neural_spectral_codec_tpu.utils.config import get as cfg_get
+
+    mode = cfg_get(config or {}, "system.io_prefetch", "auto")
+    if isinstance(mode, bool):
+        mode = "always" if mode else "off"
+    prefetcher = FramePrefetcher.create(loader, mode=mode)
+    try:
+        yield (loader.__getitem__ if prefetcher is None
+               else prefetcher.get)
+    finally:
+        if prefetcher is not None:
+            prefetcher.close()

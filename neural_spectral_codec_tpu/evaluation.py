@@ -257,7 +257,10 @@ def run_benchmark(loaders: Sequence, config: Dict,
         desc = np.stack([kf.descriptor for kf in kfs])
         poses = np.stack([kf.pose for kf in kfs])
 
-        if pipe.params is not None:
+        # ablation.disable_gnn must win even when a checkpoint populated
+        # params — this is the entry point the train_offline refusal
+        # directs raw-histogram ablation runs to
+        if pipe.params is not None and not pipe.ablate_gnn:
             graph = build_graph_from_keyframes(
                 kfs, temporal_neighbors=pipe.temporal_neighbors)
             emb = np.asarray(gnn_forward(

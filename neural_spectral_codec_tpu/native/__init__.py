@@ -11,69 +11,44 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import subprocess
-import threading
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
 
-logger = logging.getLogger(__name__)
+from neural_spectral_codec_tpu.native._build import load_library
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_LIB_PATH = _NATIVE_DIR / "libnsc_geom.so"
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_build_failed = False
+logger = logging.getLogger(__name__)
 
 _f32p = ctypes.POINTER(ctypes.c_float)
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                       capture_output=True, timeout=120)
-        return _LIB_PATH.exists()
-    except Exception as e:  # missing toolchain, etc.
-        logger.warning("native build failed, using JAX/numpy fallbacks: %s", e)
-        return False
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.nsc_voxel_downsample.restype = ctypes.c_int
+    lib.nsc_voxel_downsample.argtypes = [
+        _f32p, ctypes.c_int, ctypes.c_float, _f32p, ctypes.c_int]
+    lib.nsc_estimate_normals.restype = None
+    lib.nsc_estimate_normals.argtypes = [
+        _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, _f32p]
+    lib.nsc_estimate_covariances.restype = None
+    lib.nsc_estimate_covariances.argtypes = [
+        _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, _f32p]
+    lib.nsc_icp.restype = None
+    lib.nsc_icp.argtypes = [
+        _f32p, ctypes.c_int, _f32p, ctypes.c_int, _f32p, _f32p,
+        ctypes.c_int, ctypes.c_float, _f32p, _f32p, _f32p]
+    lib.nsc_gicp.restype = None
+    lib.nsc_gicp.argtypes = [
+        _f32p, ctypes.c_int, _f32p, _f32p, ctypes.c_int, _f32p,
+        _f32p, ctypes.c_int, ctypes.c_float, _f32p, _f32p, _f32p]
+    lib.nsc_voxel_overlap.restype = ctypes.c_float
+    lib.nsc_voxel_overlap.argtypes = [
+        _f32p, ctypes.c_int, _f32p, ctypes.c_int, _f32p,
+        ctypes.c_float, ctypes.c_int]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if _build_failed:
-            return None
-        if not _LIB_PATH.exists() and not _build():
-            _build_failed = True
-            return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.nsc_voxel_downsample.restype = ctypes.c_int
-        lib.nsc_voxel_downsample.argtypes = [
-            _f32p, ctypes.c_int, ctypes.c_float, _f32p, ctypes.c_int]
-        lib.nsc_estimate_normals.restype = None
-        lib.nsc_estimate_normals.argtypes = [
-            _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, _f32p]
-        lib.nsc_estimate_covariances.restype = None
-        lib.nsc_estimate_covariances.argtypes = [
-            _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
-            ctypes.c_float, _f32p]
-        lib.nsc_icp.restype = None
-        lib.nsc_icp.argtypes = [
-            _f32p, ctypes.c_int, _f32p, ctypes.c_int, _f32p, _f32p,
-            ctypes.c_int, ctypes.c_float, _f32p, _f32p, _f32p]
-        lib.nsc_gicp.restype = None
-        lib.nsc_gicp.argtypes = [
-            _f32p, ctypes.c_int, _f32p, _f32p, ctypes.c_int, _f32p,
-            _f32p, ctypes.c_int, ctypes.c_float, _f32p, _f32p, _f32p]
-        lib.nsc_voxel_overlap.restype = ctypes.c_float
-        lib.nsc_voxel_overlap.argtypes = [
-            _f32p, ctypes.c_int, _f32p, ctypes.c_int, _f32p,
-            ctypes.c_float, ctypes.c_int]
-        _lib = lib
-        return _lib
+    return load_library("libnsc_geom.so", _configure)
 
 
 def available() -> bool:

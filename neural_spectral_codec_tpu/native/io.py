@@ -10,21 +10,11 @@ and ``available()`` reports whether the native path is usable.
 from __future__ import annotations
 
 import ctypes
-import logging
-import subprocess
-import threading
-from pathlib import Path
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-logger = logging.getLogger(__name__)
-
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_LIB_PATH = _NATIVE_DIR / "libnsc_io.so"
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_build_failed = False
+from neural_spectral_codec_tpu.native._build import load_library
 
 _f32p = ctypes.POINTER(ctypes.c_float)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -39,44 +29,26 @@ STATUS_READ_ERROR = 1
 STATUS_BAD_SIZE = 2
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                       capture_output=True, timeout=120)
-        return _LIB_PATH.exists()
-    except Exception as e:  # missing toolchain, etc.
-        logger.warning("native IO build failed, using numpy loaders: %s", e)
-        return False
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.nsc_decode.restype = ctypes.c_int64
+    lib.nsc_decode.argtypes = [
+        ctypes.c_int, _u8p, ctypes.c_int64, _f32p, ctypes.c_int64]
+    lib.nsc_prefetch_create.restype = ctypes.c_void_p
+    lib.nsc_prefetch_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    lib.nsc_prefetch_peek.restype = ctypes.c_int
+    lib.nsc_prefetch_peek.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, _i64p]
+    lib.nsc_prefetch_take.restype = ctypes.c_int
+    lib.nsc_prefetch_take.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, _f32p]
+    lib.nsc_prefetch_destroy.restype = None
+    lib.nsc_prefetch_destroy.argtypes = [ctypes.c_void_p]
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if _build_failed:
-            return None
-        if not _LIB_PATH.exists() and not _build():
-            _build_failed = True
-            return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.nsc_decode.restype = ctypes.c_int64
-        lib.nsc_decode.argtypes = [
-            ctypes.c_int, _u8p, ctypes.c_int64, _f32p, ctypes.c_int64]
-        lib.nsc_prefetch_create.restype = ctypes.c_void_p
-        lib.nsc_prefetch_create.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int]
-        lib.nsc_prefetch_peek.restype = ctypes.c_int
-        lib.nsc_prefetch_peek.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, _i64p]
-        lib.nsc_prefetch_take.restype = ctypes.c_int
-        lib.nsc_prefetch_take.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, _f32p]
-        lib.nsc_prefetch_destroy.restype = None
-        lib.nsc_prefetch_destroy.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+    return load_library("libnsc_io.so", _configure)
 
 
 def available() -> bool:
@@ -89,7 +61,8 @@ def decode(format_id: int, raw: bytes) -> np.ndarray:
     Raises ValueError on a format/size mismatch (mirroring the numpy
     loaders' reshape failure for misaligned KITTI files)."""
     lib = _load()
-    assert lib is not None
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
     buf = np.frombuffer(raw, dtype=np.uint8)
     cap = len(raw) // 12 + 1  # >= record count of any format
     out = np.empty((cap, 4), dtype=np.float32)
@@ -99,17 +72,18 @@ def decode(format_id: int, raw: bytes) -> np.ndarray:
     if n == -2:
         raise ValueError(f"byte count {len(raw)} incompatible with format "
                          f"{format_id}")
-    assert n >= 0
+    if n < 0:
+        raise RuntimeError(f"nsc_decode capacity error ({n})")
     return out[:n].copy()
 
 
 class NativePrefetcher:
     """Threaded in-order read-ahead over a list of record files.
 
-    Items MUST be consumed strictly in order via :meth:`get`. ``get``
-    returns ``(status, points)``; points is None unless status is
-    STATUS_OK. Always :meth:`close` (or use as a context manager) —
-    worker threads block waiting for the consumer otherwise.
+    Items MUST be consumed strictly in order via :meth:`get`, from one
+    consumer thread — which is also the thread that must call
+    :meth:`close` (or use the context manager). ``get`` returns
+    ``(status, points)``; points is None unless status is STATUS_OK.
     """
 
     def __init__(self, paths: Sequence[str], format_id: int,
@@ -137,7 +111,9 @@ class NativePrefetcher:
         n_points = ctypes.c_int64()
         status = self._lib.nsc_prefetch_peek(
             self._handle, idx, ctypes.byref(n_points))
-        assert status >= 0, "peek protocol violation"
+        if status < 0:
+            raise RuntimeError("prefetcher peek protocol violation "
+                               "(closed concurrently?)")
         points = None
         if status == STATUS_OK:
             points = np.empty((n_points.value, 4), dtype=np.float32)
@@ -146,7 +122,8 @@ class NativePrefetcher:
                 points.ctypes.data_as(_f32p) if n_points.value else None)
         else:
             rc = self._lib.nsc_prefetch_take(self._handle, idx, None)
-        assert rc == 0, "take protocol violation"
+        if rc != 0:
+            raise RuntimeError("prefetcher take protocol violation")
         self._next += 1
         return status, points
 

@@ -350,42 +350,31 @@ class NeuralSpectralCodecPipeline:
         new_kfs: List[Keyframe] = []
         n_skipped = 0
         check_poses = cfg_get(self.config, "quality.validate_poses", False)
-        # native read-ahead (data/native_io.py): C++ workers decode scans
-        # ahead of selection; None -> plain indexing, same semantics.
-        # io_prefetch: "auto" (decode-bound formats) | "always" | "off",
-        # with booleans accepted as always/off
-        mode = cfg_get(self.config, "system.io_prefetch", "auto")
-        if isinstance(mode, bool):
-            mode = "always" if mode else "off"
-        from neural_spectral_codec_tpu.data.native_io import FramePrefetcher
-        prefetcher = FramePrefetcher.create(loader, mode=mode)
-        try:
-            with self.profiler.profile(f"select_seq{sequence_id}"):
-                for scan_id in range(len(loader)):
-                    try:
-                        frame = (prefetcher.get(scan_id)
-                                 if prefetcher is not None
-                                 else loader[scan_id])
-                        if check_poses and not is_valid_transformation(
-                                np.asarray(frame["pose"], np.float64)):
-                            n_skipped += 1
-                            logger.warning("Skipping scan %d: invalid SE(3) "
-                                           "pose", scan_id)
-                            continue
-                        selected, kf, _ = sel.process_scan(
-                            scan_id, frame["points"], frame["pose"],
-                            frame["timestamp"], sequence_id=sequence_id)
-                    except Exception as e:
-                        # corrupt scans are logged and skipped, like the
-                        # reference (train_multi_dataset.py:163-190)
+        # native read-ahead (data/native_io.py frame_source): C++ workers
+        # decode scans ahead of selection, gated by system.io_prefetch
+        from neural_spectral_codec_tpu.data.native_io import frame_source
+        with frame_source(loader, self.config) as get_frame, \
+                self.profiler.profile(f"select_seq{sequence_id}"):
+            for scan_id in range(len(loader)):
+                try:
+                    frame = get_frame(scan_id)
+                    if check_poses and not is_valid_transformation(
+                            np.asarray(frame["pose"], np.float64)):
                         n_skipped += 1
-                        logger.warning("Skipping scan %d: %s", scan_id, e)
+                        logger.warning("Skipping scan %d: invalid SE(3) "
+                                       "pose", scan_id)
                         continue
-                    if selected:
-                        new_kfs.append(kf)
-        finally:
-            if prefetcher is not None:
-                prefetcher.close()
+                    selected, kf, _ = sel.process_scan(
+                        scan_id, frame["points"], frame["pose"],
+                        frame["timestamp"], sequence_id=sequence_id)
+                except Exception as e:
+                    # corrupt scans are logged and skipped, like the
+                    # reference (train_multi_dataset.py:163-190)
+                    n_skipped += 1
+                    logger.warning("Skipping scan %d: %s", scan_id, e)
+                    continue
+                if selected:
+                    new_kfs.append(kf)
         if n_skipped:
             logger.warning("Sequence %d: skipped %d corrupt scans",
                            sequence_id, n_skipped)
@@ -728,104 +717,97 @@ class NeuralSpectralCodecPipeline:
         placeholder = np.zeros(self.encoder_config.output_dim, np.float32)
 
         # native read-ahead for offline stream replay (same gating as
-        # _process_sequence; live sensor feeds don't go through loaders)
-        _mode = cfg_get(self.config, "system.io_prefetch", "auto")
-        if isinstance(_mode, bool):
-            _mode = "always" if _mode else "off"
-        from neural_spectral_codec_tpu.data.native_io import FramePrefetcher
-        _prefetcher = FramePrefetcher.create(loader, mode=_mode)
-
-        for scan_id in range(len(loader)):
-            frame = (_prefetcher.get(scan_id) if _prefetcher is not None
-                     else loader[scan_id])
-            with self.profiler.profile("select"):
-                selected, kf, _ = self.selector.process_scan(
-                    scan_id, frame["points"], frame["pose"],
-                    frame["timestamp"])
-            if not selected:
-                continue
-            if fused:
-                with self.profiler.profile("encode_graph_update"):
-                    kf.descriptor = placeholder
-                    node = self.graph_manager.add_keyframe(kf)
-                    desc, refreshed_nodes = local_gnn.encode_update_local(
-                        self.graph_manager, node,
-                        pad_points(kf.points, self.encoder.max_points),
-                        self.encoder.alpha, self.encoder_config)
-                    kf.descriptor = desc
-            else:
-                with self.profiler.profile("encode"):
-                    kf.descriptor = self.encoder.encode_one(kf.points)
-                with self.profiler.profile("graph_update"):
-                    node = self.graph_manager.add_keyframe(kf)
-                    refreshed_nodes = []
-                    if self.ablate_gnn:
-                        # raw-histogram ablation: graph bookkeeping only,
-                        # descriptors go to retrieval unenhanced
-                        pass
-                    elif self.use_local_updates:
-                        refreshed_nodes = local_gnn.update_embeddings_local(
-                            self.graph_manager, node) or []
-                    else:
-                        graph = self.graph_manager.get_graph()
-                        emb = np.asarray(gnn_forward(
-                            self.model, self.params, self.batch_stats,
-                            graph))
-                        self.graph_manager.update_embeddings(emb)
-                        refreshed_nodes = list(range(len(
-                            self.graph_manager.keyframes)))
-            with self.profiler.profile("retrieval_add"):
-                self.retrieval.add_keyframe(kf)
-                if self.use_embeddings_for_retrieval and refreshed_nodes:
-                    # keep already-inserted rows in sync with the GNN's
-                    # refreshed embeddings (db row == keyframe_id: the
-                    # selector counter starts at db_base when resuming)
-                    self.retrieval.refresh_keyframes([
-                        self.graph_manager.keyframes[i].keyframe_id
-                        for i in refreshed_nodes])
-
-            if len(self.selector.keyframes) % loop_closure_interval == 0:
-                if executor is not None:
-                    with self.profiler.profile("loop_closing_submit"):
-                        # snapshot the db size so the background query sees
-                        # the submit-time database and temporal-exclusion
-                        # window, not whatever has been inserted since
-                        snapshot = self.retrieval.retriever.database_size
-                        pending.append((kf.keyframe_id, executor.submit(
-                            self.retrieval.get_loop_closures, kf, kf.points,
-                            snapshot)))
-                        n_queries += 1
+        # _process_sequence; live sensor feeds don't go through
+        # loaders). frame_source closes the prefetcher on ANY exit.
+        from neural_spectral_codec_tpu.data.native_io import frame_source
+        with frame_source(loader, self.config) as get_frame:
+            for scan_id in range(len(loader)):
+                frame = get_frame(scan_id)
+                with self.profiler.profile("select"):
+                    selected, kf, _ = self.selector.process_scan(
+                        scan_id, frame["points"], frame["pose"],
+                        frame["timestamp"])
+                if not selected:
+                    continue
+                if fused:
+                    with self.profiler.profile("encode_graph_update"):
+                        kf.descriptor = placeholder
+                        node = self.graph_manager.add_keyframe(kf)
+                        desc, refreshed_nodes = local_gnn.encode_update_local(
+                            self.graph_manager, node,
+                            pad_points(kf.points, self.encoder.max_points),
+                            self.encoder.alpha, self.encoder_config)
+                        kf.descriptor = desc
                 else:
-                    with self.profiler.profile("loop_closing"):
-                        t0 = time.perf_counter()
-                        edges = self.retrieval.get_loop_closures(
-                            kf, kf.points)
-                        n_queries += 1
-                        query_ms = 1e3 * (time.perf_counter() - t0)
-                        if max_latency_ms and query_ms > max_latency_ms:
-                            logger.warning(
-                                "scan %d: loop-closing latency %.1f ms "
-                                "exceeds budget %.0f ms", scan_id, query_ms,
-                                max_latency_ms)
-                        _apply_edges(kf.keyframe_id, edges)
-            if executor is not None:
-                _harvest()  # fold in finished background queries, no block
+                    with self.profiler.profile("encode"):
+                        kf.descriptor = self.encoder.encode_one(kf.points)
+                    with self.profiler.profile("graph_update"):
+                        node = self.graph_manager.add_keyframe(kf)
+                        refreshed_nodes = []
+                        if self.ablate_gnn:
+                            # raw-histogram ablation: graph bookkeeping only,
+                            # descriptors go to retrieval unenhanced
+                            pass
+                        elif self.use_local_updates:
+                            refreshed_nodes = local_gnn.update_embeddings_local(
+                                self.graph_manager, node) or []
+                        else:
+                            graph = self.graph_manager.get_graph()
+                            emb = np.asarray(gnn_forward(
+                                self.model, self.params, self.batch_stats,
+                                graph))
+                            self.graph_manager.update_embeddings(emb)
+                            refreshed_nodes = list(range(len(
+                                self.graph_manager.keyframes)))
+                with self.profiler.profile("retrieval_add"):
+                    self.retrieval.add_keyframe(kf)
+                    if self.use_embeddings_for_retrieval and refreshed_nodes:
+                        # keep already-inserted rows in sync with the GNN's
+                        # refreshed embeddings (db row == keyframe_id: the
+                        # selector counter starts at db_base when resuming)
+                        self.retrieval.refresh_keyframes([
+                            self.graph_manager.keyframes[i].keyframe_id
+                            for i in refreshed_nodes])
 
-            if mon_enabled and (scan_id + 1) % mon_interval == 0:
-                tot = self.profiler.totals
-                cnt = self.profiler.counts
-                logger.info(
-                    "monitor @%d | %s | db=%d", scan_id + 1,
-                    " | ".join(
-                        f"{k} {1e3 * tot[k] / max(cnt[k], 1):.2f} ms/call"
-                        for k in ("select", "encode", "graph_update",
-                                  "encode_graph_update",
-                                  "loop_closing", "loop_closing_submit")
-                        if k in tot),
-                    self.retrieval.retriever.database_size)
+                if len(self.selector.keyframes) % loop_closure_interval == 0:
+                    if executor is not None:
+                        with self.profiler.profile("loop_closing_submit"):
+                            # snapshot the db size so the background query sees
+                            # the submit-time database and temporal-exclusion
+                            # window, not whatever has been inserted since
+                            snapshot = self.retrieval.retriever.database_size
+                            pending.append((kf.keyframe_id, executor.submit(
+                                self.retrieval.get_loop_closures, kf, kf.points,
+                                snapshot)))
+                            n_queries += 1
+                    else:
+                        with self.profiler.profile("loop_closing"):
+                            t0 = time.perf_counter()
+                            edges = self.retrieval.get_loop_closures(
+                                kf, kf.points)
+                            n_queries += 1
+                            query_ms = 1e3 * (time.perf_counter() - t0)
+                            if max_latency_ms and query_ms > max_latency_ms:
+                                logger.warning(
+                                    "scan %d: loop-closing latency %.1f ms "
+                                    "exceeds budget %.0f ms", scan_id, query_ms,
+                                    max_latency_ms)
+                            _apply_edges(kf.keyframe_id, edges)
+                if executor is not None:
+                    _harvest()  # fold in finished background queries, no block
 
-        if _prefetcher is not None:
-            _prefetcher.close()  # exceptional paths close via GC finalizer
+                if mon_enabled and (scan_id + 1) % mon_interval == 0:
+                    tot = self.profiler.totals
+                    cnt = self.profiler.counts
+                    logger.info(
+                        "monitor @%d | %s | db=%d", scan_id + 1,
+                        " | ".join(
+                            f"{k} {1e3 * tot[k] / max(cnt[k], 1):.2f} ms/call"
+                            for k in ("select", "encode", "graph_update",
+                                      "encode_graph_update",
+                                      "loop_closing", "loop_closing_submit")
+                            if k in tot),
+                        self.retrieval.retriever.database_size)
         if executor is not None:
             _harvest(block=True)   # drain in-flight background queries
             executor.shutdown(wait=True)

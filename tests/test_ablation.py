@@ -76,3 +76,31 @@ def test_disable_context_drops_exclusion_window(tmp_path):
     cfg2["ablation"] = {"disable_context": True}
     pipe2 = NeuralSpectralCodecPipeline(cfg2)
     assert pipe2.retrieval.context_window == 0
+
+
+def test_benchmark_disable_gnn_ignores_checkpoint(tmp_path, monkeypatch):
+    """run_benchmark must honor ablation.disable_gnn even when a
+    checkpoint populates params (regression: the GNN gate used to be
+    `params is not None`, silently reporting GNN recall as the raw
+    ablation result)."""
+    import jax
+
+    from neural_spectral_codec_tpu.evaluation import run_benchmark
+    from neural_spectral_codec_tpu.models.gnn import init_gnn
+
+    cfg = small_config(tmp_path)
+    cfg["ablation"] = {"disable_gnn": True}
+    cfg["validation"] = {"recall_distance_threshold": 5.0, "skip_frames": 10}
+
+    def fake_load(self, path):
+        # a random-weight GNN: if the benchmark used it, recall changes
+        self.params, self.batch_stats = init_gnn(self.model,
+                                                 jax.random.key(7))
+
+    monkeypatch.setattr(NeuralSpectralCodecPipeline, "load_checkpoint",
+                        fake_load)
+    loaders = lambda: [SyntheticLoader(n_frames=60, seed=0, n_points=4096,
+                                       loops=2.0)]
+    with_ckpt = run_benchmark(loaders(), cfg, checkpoint_path="dummy")
+    without = run_benchmark(loaders(), cfg)
+    assert with_ckpt["mean"] == without["mean"]

@@ -12,8 +12,11 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+pytest.importorskip("hypothesis")
 
 import jax.numpy as jnp
 from hypothesis import given, settings
