@@ -645,6 +645,25 @@ class NeuralSpectralCodecPipeline:
             self.selector.keyframe_id_counter = db_base
             logger.info("Resumed descriptor database: %d records from %s",
                         db_base, database_path)
+        # crash-safe persistence: every N new keyframes, append their
+        # fixed-size records to the store (the format is append-only, so
+        # a crash loses at most the tail since the last autosave; a torn
+        # final record is dropped on load). 0 = save once at the end.
+        autosave_iv = cfg_get(self.config, "database.autosave_interval", 0)
+        db_persisted = db_base
+        if database_path and autosave_iv:
+            file_records = self.retrieval.database_file_records(database_path)
+            if db_base != file_records:
+                if resume_database and file_records:
+                    # capacity-clipped resume: appending would duplicate
+                    # the unloaded tail on the next load — rewrite at end
+                    logger.warning(
+                        "autosave disabled: store has %d records but %d "
+                        "were resumed (capacity clip); will rewrite on "
+                        "finish", file_records, db_base)
+                    autosave_iv = 0
+                elif file_records:
+                    Path(database_path).unlink()  # fresh session, stale file
         mon = self.config.get("monitoring", {})
         mon_enabled = mon.get("enabled", False)
         mon_interval = mon.get("log_interval", 100)
@@ -759,6 +778,12 @@ class NeuralSpectralCodecPipeline:
                             self.graph_manager.update_embeddings(emb)
                             refreshed_nodes = list(range(len(
                                 self.graph_manager.keyframes)))
+                if (database_path and autosave_iv and
+                        len(self.retrieval.keyframes) - db_persisted
+                        >= autosave_iv):
+                    with self.profiler.profile("db_autosave"):
+                        db_persisted = self.retrieval.append_database(
+                            database_path, db_persisted)
                 with self.profiler.profile("retrieval_add"):
                     self.retrieval.add_keyframe(kf)
                     if self.use_embeddings_for_retrieval and refreshed_nodes:
@@ -812,7 +837,11 @@ class NeuralSpectralCodecPipeline:
             _harvest(block=True)   # drain in-flight background queries
             executor.shutdown(wait=True)
         if database_path:
-            n = self.retrieval.save_database(database_path)
+            if autosave_iv:
+                n = self.retrieval.append_database(database_path,
+                                                   db_persisted)
+            else:
+                n = self.retrieval.save_database(database_path)
             logger.info("Saved %d descriptor records to %s", n, database_path)
         if output_g2o and all_loop_closures:
             save_loop_closures_g2o(all_loop_closures, output_g2o)

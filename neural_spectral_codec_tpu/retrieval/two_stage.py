@@ -290,6 +290,33 @@ class TwoStageRetrieval:
                 kf.timestamp, kf.keyframe_id, points=pts))
         return len(self.keyframes)
 
+    def append_database(self, path: str, start: int) -> int:
+        """Append records for ``keyframes[start:]`` to an existing store
+        (the format is append-only fixed-size records, so periodic
+        appends give crash-safe incremental persistence: a torn final
+        record is dropped by ``read_all``'s record-size truncation).
+        Returns the new persisted count, ``len(self.keyframes)``."""
+        from neural_spectral_codec_tpu.ops.quantization import (
+            DescriptorDatabaseFile, compress_descriptor)
+        db = DescriptorDatabaseFile(path, n_bins=self.retriever.n_bins)
+        for kf in self.keyframes[start:]:
+            pts = kf.points if kf.points is not None \
+                else np.zeros((0, 3), np.float32)
+            db.append(compress_descriptor(
+                kf.descriptor,
+                kf.pose if kf.pose is not None else np.eye(4),
+                kf.timestamp, kf.keyframe_id, points=pts))
+        return len(self.keyframes)
+
+    def database_file_records(self, path: str) -> int:
+        """Record count currently in the on-disk store (0 if absent)."""
+        import os
+        from neural_spectral_codec_tpu.ops.quantization import record_size
+        try:
+            return os.path.getsize(path) // record_size(self.retriever.n_bins)
+        except OSError:
+            return 0
+
     def load_database(self, path: str) -> int:
         """Rebuild the retrieval database from a record store. Loaded
         keyframes carry dequantized descriptors, poses, timestamps and

@@ -430,3 +430,56 @@ def test_pipeline_quantized_storage_config(tmp_path):
                                              "use_embeddings": True})
     pipe2 = NeuralSpectralCodecPipeline(cfg2)
     assert pipe2.retrieval.retriever.storage == "float32"
+
+
+def test_database_autosave_matches_final_save(tmp_path):
+    """Incremental autosave produces the byte-identical store that the
+    single end-of-run save writes (records are deterministic)."""
+    opts = {"spatial_filter_distance": 0.0, "top_k": 3,
+            "icp_max_iterations": 5, "verification_max_points": 4096}
+    paths = []
+    for interval in (0, 3):
+        cfg = small_config(tmp_path / f"iv{interval}", retrieval=dict(opts))
+        cfg.setdefault("database", {})["autosave_interval"] = interval
+        pipe = NeuralSpectralCodecPipeline(cfg)
+        db = tmp_path / f"map_iv{interval}.bin"
+        pipe.run_online(SyntheticLoader(n_frames=40, seed=0, n_points=4096,
+                                        loops=1.0),
+                        loop_closure_interval=10, database_path=str(db))
+        paths.append(db)
+    assert paths[0].read_bytes() == paths[1].read_bytes()
+
+
+def test_database_autosave_survives_crash(tmp_path):
+    """A crash mid-run leaves a loadable store with every record up to
+    the last autosave; a fresh session resumes from it."""
+    opts = {"spatial_filter_distance": 0.0, "top_k": 3,
+            "icp_max_iterations": 5, "verification_max_points": 4096}
+
+    class CrashingLoader(SyntheticLoader):
+        def __getitem__(self, idx):
+            if idx == 30:
+                raise RuntimeError("sensor died")
+            return super().__getitem__(idx)
+
+    cfg = small_config(tmp_path, retrieval=dict(opts))
+    cfg.setdefault("database", {})["autosave_interval"] = 2
+    cfg["keyframe"]["distance_threshold"] = 1.0
+    pipe = NeuralSpectralCodecPipeline(cfg)
+    db = tmp_path / "map.bin"
+    with pytest.raises(RuntimeError, match="sensor died"):
+        pipe.run_online(CrashingLoader(n_frames=40, seed=0, n_points=4096,
+                                       loops=1.0),
+                        loop_closure_interval=10, database_path=str(db))
+    n_file = pipe.retrieval.database_file_records(str(db))
+    n_selected = len(pipe.selector.keyframes)
+    assert 0 < n_file <= n_selected
+    assert n_file >= n_selected - 2  # at most one interval's tail lost
+
+    pipe2 = NeuralSpectralCodecPipeline(small_config(
+        tmp_path / "resume", retrieval=dict(opts)))
+    pipe2.run_online(SyntheticLoader(n_frames=10, seed=0, n_points=4096,
+                                     loops=1.0),
+                     loop_closure_interval=10, database_path=str(db),
+                     resume_database=True)
+    assert pipe2.retrieval.retriever.database_size >= n_file
