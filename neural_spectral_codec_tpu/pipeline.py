@@ -824,15 +824,28 @@ class NeuralSpectralCodecPipeline:
                 if mon_enabled and (scan_id + 1) % mon_interval == 0:
                     tot = self.profiler.totals
                     cnt = self.profiler.counts
+                    mem = ""
+                    if "memory_usage" in mon.get("metrics", ()):
+                        # reference declares this metric and never
+                        # implements it (configs/inference.yaml:72);
+                        # device stats exist on TPU, not the CPU backend
+                        try:
+                            stats = jax.local_devices()[0].memory_stats()
+                            if stats and "bytes_in_use" in stats:
+                                mem = (f" | mem "
+                                       f"{stats['bytes_in_use'] / 2**20:.0f}"
+                                       f" MiB")
+                        except Exception:
+                            pass
                     logger.info(
-                        "monitor @%d | %s | db=%d", scan_id + 1,
+                        "monitor @%d | %s | db=%d%s", scan_id + 1,
                         " | ".join(
                             f"{k} {1e3 * tot[k] / max(cnt[k], 1):.2f} ms/call"
                             for k in ("select", "encode", "graph_update",
-                                      "encode_graph_update",
+                                      "encode_graph_update", "db_autosave",
                                       "loop_closing", "loop_closing_submit")
                             if k in tot),
-                        self.retrieval.retriever.database_size)
+                        self.retrieval.retriever.database_size, mem)
         if executor is not None:
             _harvest(block=True)   # drain in-flight background queries
             executor.shutdown(wait=True)
