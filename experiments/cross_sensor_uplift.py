@@ -143,11 +143,21 @@ def main(argv=None):
         SpectralEncoderConfig(n_elevation=16, target_elevation_bins=16,
                               elevation_range_deg=(-15.0, 2.0)),
         16, (-15.0, 15.0), 64, hdl)
+    # the FIX for the native-FOV axis: drop (not clip) out-of-band
+    # points and size rows to the coarser sensor's in-band beam spacing
+    # (8 rows over the 17-degree overlap ~ 2.1 deg >= VLP 2.0 deg)
+    acc_fov_drop = top1(
+        SpectralEncoderConfig(n_elevation=8, target_elevation_bins=8,
+                              elevation_range_deg=(-15.0, 2.0),
+                              elevation_mode="drop"),
+        16, (-15.0, 15.0), 64, hdl)
     print(f"beam-density retrieval 64q -> 16-db (same FOV) : "
           f"top-1 {acc_density:.3f} ({len(poses)} places)")
     print(f"native-FOV retrieval VLP-db <- HDL-q (overlap-FOV encoding, "
-          f"known limitation): top-1 {acc_fov:.3f}")
-    return raw[1], gnn_r1, acc_density, acc_fov
+          f"reference clip semantics): top-1 {acc_fov:.3f}")
+    print(f"native-FOV retrieval VLP-db <- HDL-q (elevation_mode=drop + "
+          f"overlap fat rows): top-1 {acc_fov_drop:.3f}")
+    return raw[1], gnn_r1, acc_density, acc_fov, acc_fov_drop
 
 
 if __name__ == "__main__":

@@ -41,6 +41,13 @@ class ProjectionConfig(NamedTuple):
     elevation_range_deg: Tuple[float, float] = (-24.8, 2.0)
     max_range: float = 80.0
     min_range: float = 1.0
+    # "clip" (reference range_image.py:193-198 parity): out-of-range
+    # elevations land in the boundary rows. "drop": they are discarded —
+    # required for cross-FOV retrieval, where two sensors encoded over
+    # their overlap band must see the SAME physical points
+    # (docs/cross_sensor.md; clip poisons the boundary rows with
+    # out-of-band returns and the global normalization with their mass)
+    elevation_mode: str = "clip"
 
     @property
     def elevation_min(self) -> float:
@@ -73,6 +80,15 @@ def _spherical(points: jnp.ndarray):
     return rng, azimuth, elevation, finite
 
 
+def _valid_mask(rng, elevation, finite, config: ProjectionConfig):
+    """Range gates + (drop mode only) the elevation-band gate."""
+    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    if config.elevation_mode == "drop":
+        valid = valid & (elevation >= config.elevation_min) \
+            & (elevation <= config.elevation_max)
+    return valid
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def project_points(points: jnp.ndarray, config: ProjectionConfig) -> jnp.ndarray:
     """Project one padded point cloud (N, 3|4) to a range image.
@@ -81,7 +97,7 @@ def project_points(points: jnp.ndarray, config: ProjectionConfig) -> jnp.ndarray
     range_image.py:205-214 keeps the closest point per pixel, inf→0).
     """
     rng, azimuth, elevation, finite = _spherical(points)
-    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    valid = _valid_mask(rng, elevation, finite, config)
 
     elev_span = config.elevation_max - config.elevation_min
     elev_norm = (elevation - config.elevation_min) / elev_span
@@ -420,7 +436,7 @@ def _project_points_batch_compact(points: jnp.ndarray,
     b = points.shape[0]
 
     rng, azimuth, elevation, finite = _spherical(points)
-    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    valid = _valid_mask(rng, elevation, finite, config)
     elev_span = config.elevation_max - config.elevation_min
     elev_bins = jnp.clip(
         jnp.floor((elevation - config.elevation_min) / elev_span
@@ -553,7 +569,7 @@ def project_points_with_intensity(
     exact-tie-masked intensities.
     """
     rng, azimuth, elevation, finite = _spherical(points)
-    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    valid = _valid_mask(rng, elevation, finite, config)
     intens = points[..., 3] if points.shape[-1] > 3 else jnp.zeros_like(rng)
     intens = jnp.where(valid & jnp.isfinite(intens), intens, 0.0)
 

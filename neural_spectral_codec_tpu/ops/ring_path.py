@@ -88,6 +88,13 @@ def _ring_keys(points: jnp.ndarray, config: ProjectionConfig):
     azimuth = jnp.arctan2(y, x)
     azimuth = jnp.mod(azimuth + jnp.pi, 2.0 * jnp.pi)
     valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    if config.elevation_mode == "drop":
+        # per-point elevation gate, matching range_image._valid_mask —
+        # rings sweep nominally-constant elevations but snapped/real beams
+        # can straddle the band edge (static branch: free in clip mode)
+        elevation = jnp.arctan2(z, jnp.sqrt(x_sq + y_sq))
+        valid = valid & (elevation >= config.elevation_min) \
+            & (elevation <= config.elevation_max)
     azb = jnp.clip(
         jnp.floor(azimuth / (2.0 * jnp.pi) * config.n_azimuth), 0.0,
         config.n_azimuth - 1.0)
@@ -330,6 +337,10 @@ def ring_structure_report(points: np.ndarray, config: ProjectionConfig,
                   config.n_azimuth - 1).astype(np.int64)
     elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
                                   + np.clip(ys * ys, 0, 1e10)))
+    if config.elevation_mode == "drop":
+        # dropped points are holes, not contract violations (_ring_keys)
+        valid = valid & (elev >= config.elevation_min) \
+            & (elev <= config.elevation_max)
     span = config.elevation_max - config.elevation_min
     eb = np.clip(np.floor((elev - config.elevation_min) / span
                           * config.n_elevation), 0,
@@ -433,6 +444,11 @@ def infer_row_of_ring(rings: np.ndarray,
     valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
     elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
                                   + np.clip(ys * ys, 0, 1e10)))
+    if config.elevation_mode == "drop":
+        # an entirely out-of-band ring must report row -1 (dropped), not
+        # vote itself into a clipped boundary row
+        valid = valid & (elev >= config.elevation_min) \
+            & (elev <= config.elevation_max)
     span = config.elevation_max - config.elevation_min
     eb = np.clip(np.floor((elev - config.elevation_min) / span
                           * config.n_elevation), 0,
@@ -457,7 +473,11 @@ def prepare_structured(points: np.ndarray, ring_ids: np.ndarray, config,
     (pipeline.RingMajorBatchEncoder)."""
     proj = config.projection
     rings = points_to_rings(points, ring_ids, per_ring=per_ring)
+    n_rings_bucketed, ring_capacity = rings.shape[0], rings.shape[1]
     rows = infer_row_of_ring(rings, proj)
+    # row -1 = a ring with NO valid points (range-gated, or out of the
+    # elevation band in drop mode): its points contribute nothing to the
+    # image on either path, so dropping the ring whole is exact
     keep = rows >= 0
     rings, rows = rings[keep], rows[keep]
     order = np.argsort(rows, kind="stable")
@@ -467,11 +487,11 @@ def prepare_structured(points: np.ndarray, ring_ids: np.ndarray, config,
         rep = ring_structure_report(rings[None], proj, rows)
         ok = rep["ok"] and rep["max_folds_needed"] <= 2
         # dropping overflow points in points_to_rings would silently
-        # change the image — only the ring path may skip the check when
-        # every point was bucketed
-        ok = ok and rings.shape[0] * rings.shape[1] >= len(points)
+        # change the image — the capacity check uses the PRE-drop shape
+        # (dropped rings still held their points in the buckets)
+        ok = ok and n_rings_bucketed * ring_capacity >= len(points)
         counts = np.bincount(np.asarray(ring_ids).astype(np.int64))
-        ok = ok and counts.max() <= rings.shape[1]
+        ok = ok and counts.max() <= ring_capacity
     if not ok:
         return None
     pp = -(-rings.shape[1] // 128) * 128

@@ -58,6 +58,8 @@ class SpectralEncoderConfig(NamedTuple):
     elevation_range_deg: Tuple[float, float] = (-24.8, 2.0)
     max_range: float = 80.0
     min_range: float = 1.0
+    # "clip" (reference parity) | "drop" — see ProjectionConfig
+    elevation_mode: str = "clip"
     # None = auto (fused Pallas kernel on TPU, XLA composition elsewhere)
     use_pallas: Optional[bool] = None
 
@@ -77,6 +79,7 @@ class SpectralEncoderConfig(NamedTuple):
             elevation_range_deg=self.elevation_range_deg,
             max_range=self.max_range,
             min_range=self.min_range,
+            elevation_mode=self.elevation_mode,
         )
 
 

@@ -218,6 +218,7 @@ class NeuralSpectralCodecPipeline:
             elevation_range_deg=elev,
             max_range=enc.get("max_range", 80.0),
             min_range=enc.get("min_range", 1.0),
+            elevation_mode=enc.get("elevation_mode", "clip"),
         )
         encoder_cls = (RingMajorBatchEncoder if enc.get("ring_major")
                        else BatchEncoder)

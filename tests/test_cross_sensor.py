@@ -175,3 +175,109 @@ def test_sensor_sim_loader_contract():
     deg = SensorSimLoader(n_frames=4, seed=5, n_points=8000, n_beams=16,
                           wedge_deg=180.0, dropout=0.5)
     assert len(deg[2]["points"]) < len(pts)
+
+
+def test_cross_fov_retrieval_with_drop_mode():
+    """The NATIVE-FOV mismatch axis (VLP-16 −15..15° database, HDL-64E
+    −24.8..2° queries) — a measured limitation of the reference recipe
+    (top-1 ~0.10 at its clip semantics). The fix: encode BOTH sensors
+    over the overlap band (−15..2°), DROP out-of-band points instead of
+    clipping them into boundary rows, and size rows to the coarser
+    sensor's in-band beam spacing (8 rows over 17° ≈ 2.1° ≥ VLP 2.0°).
+    Measured 0.73 top-1; the bar asserts well above both chance (1/24)
+    and the clip-mode 0.13."""
+    from neural_spectral_codec_tpu.ops.wasserstein import wasserstein_matrix
+
+    world = SyntheticWorld(seed=7)
+    poses = loop_trajectory(24, radius=100.0, loops=1.0)
+    rng = np.random.default_rng(0)
+    overlap = (-15.0, 2.0)
+    cfg = SpectralEncoderConfig(n_elevation=8, target_elevation_bins=8,
+                                elevation_range_deg=overlap,
+                                elevation_mode="drop")
+    db, q = [], []
+    for pose in poses:
+        dense = world.scan(pose, n_points=30000, rng=rng)
+        db.append(_encode(cfg, _snap_to_beams(dense, 16, (-15.0, 15.0))))
+        q.append(_encode(cfg, _snap_to_beams(dense, 64, (-24.8, 2.0))))
+    dmat = np.asarray(wasserstein_matrix(jnp.asarray(np.stack(q)),
+                                         jnp.asarray(np.stack(db))))
+    accuracy = (dmat.argmin(axis=1) == np.arange(len(poses))).mean()
+    assert accuracy >= 0.5, accuracy
+
+
+def test_drop_mode_equals_clip_on_prefiltered_cloud():
+    """drop-mode projection is EXACTLY clip-mode projection of the
+    host-filtered cloud (the defining property of the mode)."""
+    from neural_spectral_codec_tpu.ops.range_image import project_points
+
+    rng = np.random.default_rng(1)
+    n = 4096
+    pts = np.empty((n, 4), np.float32)
+    r = rng.uniform(0.5, 100.0, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    el = rng.uniform(-0.6, 0.4, n)  # straddles the band on both sides
+    pts[:, 0] = r * np.cos(el) * np.cos(az)
+    pts[:, 1] = r * np.cos(el) * np.sin(az)
+    pts[:, 2] = r * np.sin(el)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    pts[rng.random(n) < 0.03] = np.nan
+
+    cfg_clip = SpectralEncoderConfig(n_elevation=8, target_elevation_bins=8,
+                                     elevation_range_deg=(-15.0, 2.0))
+    cfg_drop = cfg_clip._replace(elevation_mode="drop")
+
+    # host filter with the projector's own elevation formula
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    elev = np.arctan2(z, np.sqrt(np.clip(x * x, 0, 1e10)
+                                 + np.clip(y * y, 0, 1e10)))
+    emin, emax = np.radians(-15.0), np.radians(2.0)
+    keep = np.isfinite(pts).all(axis=1) & (elev >= emin) & (elev <= emax)
+    filtered = pad_points(pts[keep], n)
+
+    a = _encode(cfg_drop, pts, max_pts=n)
+    b = _encode(cfg_clip, filtered, max_pts=n)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ring_path_drop_mode_matches_general():
+    """encode_structured under drop mode stays bit-identical to the
+    general path: a fully out-of-band ring is dropped whole, and a
+    band-edge-straddling ring becomes per-point holes in the kernel."""
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        encode_structured, prepare_structured)
+    from neural_spectral_codec_tpu.ops.spectral import encode_points_batch
+
+    cfg = SpectralEncoderConfig(n_elevation=8, target_elevation_bins=8,
+                                elevation_range_deg=(-15.0, 0.0),
+                                elevation_mode="drop")
+    rng = np.random.default_rng(4)
+    P = 256
+    rings, ring_ids = [], []
+    # rings 0..7 at the 8 row centers; ring 7 jittered to STRADDLE the
+    # upper band edge (half its points above 0 deg get dropped); ring 8
+    # entirely above the band (dropped whole)
+    centers = -15.0 + (np.arange(8) + 0.5) * 15.0 / 8
+    for i, el_deg in enumerate(list(centers) + [3.0]):
+        az = rng.uniform(0, 2 * np.pi) + np.arange(P) / P * 2 * np.pi
+        el = np.full(P, np.radians(el_deg))
+        if i == 7:
+            el = np.radians(rng.uniform(-0.2, 0.2, P))  # straddles 0 deg
+        r = rng.uniform(2.0, 70.0, P)
+        rings.append(np.stack([r * np.cos(el) * np.cos(az),
+                               r * np.cos(el) * np.sin(az),
+                               r * np.sin(el),
+                               rng.uniform(0, 1, P)], -1))
+        ring_ids.append(np.full(P, i))
+    flat = np.concatenate(rings).astype(np.float32)
+    ring_ids = np.concatenate(ring_ids)
+
+    prep = prepare_structured(flat, ring_ids, cfg, per_ring=P)
+    assert prep is not None, "in-band rings must still satisfy the contract"
+    assert prep[0].shape[0] == 8  # the out-of-band ring was dropped whole
+
+    got = encode_structured(flat, ring_ids, 2.0, cfg, per_ring=P)
+    want = np.asarray(encode_points_batch(
+        jnp.asarray(pad_points(flat, 4096)[None]),
+        jnp.float32(2.0), cfg))[0]
+    np.testing.assert_array_equal(got, want)
