@@ -42,8 +42,10 @@ def test_mesh_creation():
     assert mesh.shape["data"] == 8
 
 
-def test_sharded_encoder_matches_single_device(rng):
-    cfg = SpectralEncoderConfig(n_elevation=16, n_azimuth=90, n_bins=20)
+@pytest.mark.parametrize("elevation_mode", ["clip", "drop"])
+def test_sharded_encoder_matches_single_device(rng, elevation_mode):
+    cfg = SpectralEncoderConfig(n_elevation=16, n_azimuth=90, n_bins=20,
+                                elevation_mode=elevation_mode)
     pts = np.stack([synthetic_scan(rng, 4000) for _ in range(8)])
     pts = np.nan_to_num(pts)
     mesh = create_mesh(8)
