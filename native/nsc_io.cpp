@@ -14,6 +14,10 @@
 //                      iff |coord| < 200 m (nclt_loader.py:229-267)
 //   format 2  HeLiPR — 22-byte packed: f32 x,y,z,intensity + u16 ring +
 //                      f32 time (helipr_loader.py:133-140)
+//   format 3  HeLiPR5 — same records, 5-float rows [x,y,z,i,ring]: the
+//                      explicit ring ids feed the ring fast path (VLP-16
+//                      streams are firing-interleaved, so ring inference
+//                      from elevation order cannot recover them)
 //
 // Decode is bit-identical to the numpy loaders in
 // neural_spectral_codec_tpu/data/: the Makefile compiles this file with
@@ -81,21 +85,30 @@ int64_t decode_nclt(const uint8_t* raw, int64_t nbytes, float* out,
 }
 
 int64_t decode_helipr(const uint8_t* raw, int64_t nbytes, float* out,
-                      int64_t n_max) {
+                      int64_t n_max, bool with_ring) {
   int64_t n = nbytes / 22;
   if (n > n_max) return -1;
+  int64_t w = with_ring ? 5 : 4;
   for (int64_t i = 0; i < n; i++) {
-    memcpy(out + i * 4, raw + i * 22, 16);  // f32 x,y,z,intensity
+    memcpy(out + i * w, raw + i * 22, 16);  // f32 x,y,z,intensity
+    if (with_ring) {
+      uint16_t ring;
+      memcpy(&ring, raw + i * 22 + 16, 2);
+      out[i * w + 4] = (float)ring;  // exact for u16 values
+    }
   }
   return n;
 }
+
+int row_floats(int format) { return format == 3 ? 5 : 4; }
 
 int64_t decode(int format, const uint8_t* raw, int64_t nbytes, float* out,
                int64_t n_max) {
   switch (format) {
     case 0: return decode_kitti(raw, nbytes, out, n_max);
     case 1: return decode_nclt(raw, nbytes, out, n_max);
-    case 2: return decode_helipr(raw, nbytes, out, n_max);
+    case 2: return decode_helipr(raw, nbytes, out, n_max, false);
+    case 3: return decode_helipr(raw, nbytes, out, n_max, true);
     default: return -2;
   }
 }
@@ -148,7 +161,8 @@ struct Prefetcher {
             status = NSC_IO_READ_ERROR;
           } else {
             int64_t cap = (int64_t)sz / 12 + 1;  // >= records of any format
-            buf.resize((size_t)(cap * 4));
+            int64_t w = row_floats(format);
+            buf.resize((size_t)(cap * w));
             int64_t m = decode(format, raw.data(), sz, buf.data(), cap);
             if (m == -2) {
               status = NSC_IO_BAD_SIZE;
@@ -156,7 +170,7 @@ struct Prefetcher {
               status = NSC_IO_READ_ERROR;  // capacity bug; defensive
             } else {
               n_points = m;
-              buf.resize((size_t)(n_points * 4));
+              buf.resize((size_t)(n_points * w));
             }
           }
         }
@@ -193,7 +207,7 @@ int64_t nsc_decode(int format, const uint8_t* raw, int64_t nbytes,
 
 void* nsc_prefetch_create(const char** paths, int64_t n_paths, int format,
                           int n_threads, int depth) {
-  if (n_paths < 0 || format < 0 || format > 2 || depth < 1 || n_threads < 1)
+  if (n_paths < 0 || format < 0 || format > 3 || depth < 1 || n_threads < 1)
     return nullptr;
   auto* p = new Prefetcher();
   p->paths.reserve((size_t)n_paths);
@@ -243,7 +257,8 @@ int nsc_prefetch_take(void* h, int64_t seq, float* out) {
   // (producers wait for next_consume to pass it), so the up-to-2 MB scan
   // copy runs outside the lock and never stalls publishing workers
   if (out && n_points > 0)
-    memcpy(out, src, (size_t)(n_points * 4) * sizeof(float));
+    memcpy(out, src,
+           (size_t)(n_points * row_floats(p->format)) * sizeof(float));
   {
     std::lock_guard<std::mutex> lk(p->mu);
     if (p->stop) return -1;

@@ -40,10 +40,11 @@ class HeLiPRLoader:
 
         self._load_ground_truth()
         self._associate_scans()
-        self.point_clouds = (
-            [self._load_velodyne(f) for f in self.scan_files]
-            if not lazy_load else None
-        )
+        self.point_clouds = self.ring_ids = None
+        if not lazy_load:
+            loaded = [self._load_velodyne_full(f) for f in self.scan_files]
+            self.point_clouds = [p for p, _ in loaded]
+            self.ring_ids = [r for _, r in loaded]
 
     def _load_ground_truth(self):
         ts, poses = [], []
@@ -84,11 +85,20 @@ class HeLiPRLoader:
         self.scan_poses = np.asarray(scan_poses)
 
     @staticmethod
-    def _load_velodyne(filepath: Path) -> np.ndarray:
+    def _load_velodyne_full(filepath: Path):
+        """(points (N, 4) float32, ring ids (N,) int64). The explicit
+        ring field feeds the ring fast path — VLP-16 streams are
+        firing-interleaved, so ring inference from elevation order
+        (ops/ring_path.infer_ring_ids_from_sweep) cannot recover them."""
         data = np.fromfile(filepath, dtype=_HELIPR_DTYPE)
-        return np.stack(
+        pts = np.stack(
             [data["x"], data["y"], data["z"], data["intensity"]], axis=-1
         ).astype(np.float32)
+        return pts, data["ring"].astype(np.int64)
+
+    @classmethod
+    def _load_velodyne(cls, filepath: Path) -> np.ndarray:
+        return cls._load_velodyne_full(filepath)[0]
 
     def __len__(self) -> int:
         return len(self.scan_files)
@@ -96,17 +106,19 @@ class HeLiPRLoader:
     def __getitem__(self, idx: int) -> dict:
         if idx < 0 or idx >= len(self):
             raise IndexError(f"Index {idx} out of range [0, {len(self)})")
-        points = (
-            self._load_velodyne(self.scan_files[idx])
-            if self.lazy_load else self.point_clouds[idx]
-        )
-        return self._assemble(idx, points)
+        if self.lazy_load:
+            points, rings = self._load_velodyne_full(self.scan_files[idx])
+        else:
+            points, rings = self.point_clouds[idx], self.ring_ids[idx]
+        return self._assemble(idx, points, rings)
 
-    def _assemble(self, idx: int, points: np.ndarray) -> dict:
+    def _assemble(self, idx: int, points: np.ndarray,
+                  ring_ids=None) -> dict:
         """Item dict for already-decoded points (shared with the native
         prefetch path, data/native_io.py)."""
         return {
             "points": points,
+            "ring_ids": ring_ids,
             "pose": self.scan_poses[idx],
             "timestamp": self.scan_timestamps[idx] / 1e9,
             "idx": idx,

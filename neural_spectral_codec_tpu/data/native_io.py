@@ -16,6 +16,8 @@ import contextlib
 import logging
 from typing import Optional
 
+import numpy as np
+
 from neural_spectral_codec_tpu.data.helipr import HeLiPRLoader
 from neural_spectral_codec_tpu.data.kitti import KITTILoader
 from neural_spectral_codec_tpu.data.nclt import NCLTLoader
@@ -30,7 +32,9 @@ def _format_and_files(loader):
     if isinstance(loader, NCLTLoader):
         return native_io.FORMAT_NCLT, loader.frame_files
     if isinstance(loader, HeLiPRLoader):
-        return native_io.FORMAT_HELIPR, loader.scan_files
+        # 5-float rows: the explicit ring ids ride along for the ring
+        # fast path (helipr.py _load_velodyne_full)
+        return native_io.FORMAT_HELIPR5, loader.scan_files
     return None, None
 
 
@@ -80,6 +84,10 @@ class FramePrefetcher:
             # reproduce the Python path's exact behavior for this file
             # (raise, or e.g. NCLT's empty-cloud recovery)
             return self._loader[idx]
+        if points.shape[1] == 5:  # HeLiPR5: split the ring column off
+            return self._loader._assemble(
+                idx, np.ascontiguousarray(points[:, :4]),
+                points[:, 4].astype(np.int64))
         return self._loader._assemble(idx, points)
 
     def close(self) -> None:

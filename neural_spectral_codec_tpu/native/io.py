@@ -23,10 +23,15 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 FORMAT_KITTI = 0
 FORMAT_NCLT = 1
 FORMAT_HELIPR = 2
+FORMAT_HELIPR5 = 3  # 5-float rows [x, y, z, i, ring]
 
 STATUS_OK = 0
 STATUS_READ_ERROR = 1
 STATUS_BAD_SIZE = 2
+
+
+def row_floats(format_id: int) -> int:
+    return 5 if format_id == FORMAT_HELIPR5 else 4
 
 
 def _configure(lib: ctypes.CDLL) -> None:
@@ -56,7 +61,8 @@ def available() -> bool:
 
 
 def decode(format_id: int, raw: bytes) -> np.ndarray:
-    """Decode raw record bytes to an (n, 4) float32 [x, y, z, i] array.
+    """Decode raw record bytes to an (n, row_floats) float32 array
+    ([x, y, z, i], plus the ring id for FORMAT_HELIPR5).
 
     Raises ValueError on a format/size mismatch (mirroring the numpy
     loaders' reshape failure for misaligned KITTI files)."""
@@ -65,7 +71,7 @@ def decode(format_id: int, raw: bytes) -> np.ndarray:
         raise RuntimeError("native IO library unavailable")
     buf = np.frombuffer(raw, dtype=np.uint8)
     cap = len(raw) // 12 + 1  # >= record count of any format
-    out = np.empty((cap, 4), dtype=np.float32)
+    out = np.empty((cap, row_floats(format_id)), dtype=np.float32)
     n = lib.nsc_decode(
         format_id, buf.ctypes.data_as(_u8p), len(raw),
         out.ctypes.data_as(_f32p), cap)
@@ -92,6 +98,7 @@ class NativePrefetcher:
         if lib is None:
             raise RuntimeError("native IO library unavailable")
         self._lib = lib
+        self._width = row_floats(format_id)
         self._n = len(paths)
         arr = (ctypes.c_char_p * self._n)(
             *[str(p).encode() for p in paths])
@@ -116,7 +123,8 @@ class NativePrefetcher:
                                "(closed concurrently?)")
         points = None
         if status == STATUS_OK:
-            points = np.empty((n_points.value, 4), dtype=np.float32)
+            points = np.empty((n_points.value, self._width),
+                              dtype=np.float32)
             rc = self._lib.nsc_prefetch_take(
                 self._handle, idx,
                 points.ctypes.data_as(_f32p) if n_points.value else None)

@@ -89,7 +89,10 @@ class BatchEncoder:
         self.max_points = max_points
         self.batch_size = batch_size
 
-    def encode(self, clouds: Sequence[np.ndarray]) -> np.ndarray:
+    def encode(self, clouds: Sequence[np.ndarray],
+               ring_ids: Optional[Sequence] = None) -> np.ndarray:
+        # ring_ids: per-cloud explicit ring assignments (HeLiPR carries
+        # them natively); the general path ignores them
         import jax.numpy as jnp
         out = []
         B = self.batch_size
@@ -107,7 +110,8 @@ class BatchEncoder:
         return np.concatenate(out) if out else np.zeros(
             (0, self.config.output_dim), np.float32)
 
-    def encode_one(self, cloud: np.ndarray) -> np.ndarray:
+    def encode_one(self, cloud: np.ndarray,
+                   ring_ids: Optional[np.ndarray] = None) -> np.ndarray:
         """Single-scan path with its own B=1 executable — the online loop
         encodes one keyframe at a time and must not pay for a full
         batch_size chunk of padding."""
@@ -138,7 +142,8 @@ class RingMajorBatchEncoder(BatchEncoder):
 
     RING_B = 8
 
-    def encode(self, clouds: Sequence[np.ndarray]) -> np.ndarray:
+    def encode(self, clouds: Sequence[np.ndarray],
+               ring_ids: Optional[Sequence] = None) -> np.ndarray:
         import jax.numpy as jnp
         from neural_spectral_codec_tpu.ops.ring_path import (
             encode_points_ring_batch, infer_ring_ids_from_sweep,
@@ -166,8 +171,14 @@ class RingMajorBatchEncoder(BatchEncoder):
             c = np.asarray(cloud)[:self.max_points]
             prep = None
             if len(c):
-                prep = prepare_structured(
-                    c, infer_ring_ids_from_sweep(c), self.config)
+                # explicit ids (HeLiPR ring field) reach the fast path
+                # even for firing-interleaved streams, where elevation-
+                # order inference cannot recover rings
+                rid = (ring_ids[i] if ring_ids is not None
+                       and ring_ids[i] is not None else None)
+                rid = (np.asarray(rid)[:self.max_points] if rid is not None
+                       else infer_ring_ids_from_sweep(c))
+                prep = prepare_structured(c, rid, self.config)
             if prep is None:
                 fallback.append(i)
                 continue
@@ -184,13 +195,16 @@ class RingMajorBatchEncoder(BatchEncoder):
                 out[i] = d[j]
         return out
 
-    def encode_one(self, cloud: np.ndarray) -> np.ndarray:
+    def encode_one(self, cloud: np.ndarray,
+                   ring_ids: Optional[np.ndarray] = None) -> np.ndarray:
         from neural_spectral_codec_tpu.ops.ring_path import (
             encode_structured, infer_ring_ids_from_sweep)
         cloud = np.asarray(cloud)[:self.max_points]
         if len(cloud) == 0:
             return super().encode_one(cloud)
-        rids = infer_ring_ids_from_sweep(cloud)
+        rids = (np.asarray(ring_ids)[:self.max_points]
+                if ring_ids is not None
+                else infer_ring_ids_from_sweep(cloud))
         return encode_structured(cloud, rids, float(self.alpha),
                                  self.config)
 
@@ -349,6 +363,7 @@ class NeuralSpectralCodecPipeline:
         hoisted into device batches)."""
         sel = selector or self.selector
         new_kfs: List[Keyframe] = []
+        new_ring_ids: List[Optional[np.ndarray]] = []
         n_skipped = 0
         check_poses = cfg_get(self.config, "quality.validate_poses", False)
         # native read-ahead (data/native_io.py frame_source): C++ workers
@@ -376,12 +391,14 @@ class NeuralSpectralCodecPipeline:
                     continue
                 if selected:
                     new_kfs.append(kf)
+                    new_ring_ids.append(frame.get("ring_ids"))
         if n_skipped:
             logger.warning("Sequence %d: skipped %d corrupt scans",
                            sequence_id, n_skipped)
         with self.profiler.profile(f"encode_seq{sequence_id}"):
             if new_kfs:
-                desc = self.encoder.encode([kf.points for kf in new_kfs])
+                desc = self.encoder.encode([kf.points for kf in new_kfs],
+                                           ring_ids=new_ring_ids)
                 for kf, d in zip(new_kfs, desc):
                     kf.descriptor = d
         logger.info("Sequence %d: %d scans -> %d keyframes",
@@ -760,7 +777,8 @@ class NeuralSpectralCodecPipeline:
                         kf.descriptor = desc
                 else:
                     with self.profiler.profile("encode"):
-                        kf.descriptor = self.encoder.encode_one(kf.points)
+                        kf.descriptor = self.encoder.encode_one(
+                            kf.points, ring_ids=frame.get("ring_ids"))
                     with self.profiler.profile("graph_update"):
                         node = self.graph_manager.add_keyframe(kf)
                         refreshed_nodes = []

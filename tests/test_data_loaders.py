@@ -92,6 +92,7 @@ def _make_helipr(root, n=3):
     for k in range(n):
         rec = np.zeros(40, dtype=dtype)
         rec["x"], rec["y"], rec["z"], rec["i"] = k, 1.0, 0.2, 0.5
+        rec["r"] = np.arange(40) % 16  # VLP-16 firing-interleaved rings
         rec.tofile(d / f"{base + k * 100_000_000}.bin")
         lines.append(f"{base + k * 100_000_000 + 1000} {k * 3.0} 0 0 0 0 0 1")
     # one scan with GT too far away (dropped)
@@ -108,6 +109,10 @@ def test_helipr_loader(tmp_path):
     assert item["points"].shape == (40, 4)
     np.testing.assert_allclose(item["pose"][0, 3], 6.0)
     np.testing.assert_allclose(item["points"][0], [2.0, 1.0, 0.2, 0.5])
+    # the sensor's explicit ring field rides along for the ring path
+    np.testing.assert_array_equal(item["ring_ids"], np.arange(40) % 16)
+    eager = HeLiPRLoader(str(tmp_path), lazy_load=False)
+    np.testing.assert_array_equal(eager[2]["ring_ids"], np.arange(40) % 16)
 
 
 def test_multi_dataset_loader(tmp_path):

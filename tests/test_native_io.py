@@ -226,3 +226,17 @@ def test_process_sequence_prefetch_invariant(tmp_path):
         assert a.scan_id == b.scan_id
         np.testing.assert_array_equal(a.points, b.points)
         np.testing.assert_array_equal(a.descriptor, b.descriptor)
+
+
+def test_decode_helipr5_carries_ring():
+    rng = np.random.default_rng(5)
+    rec = np.zeros(256, dtype=_HELIPR_DTYPE)
+    for f in ("x", "y", "z", "i", "t"):
+        rec[f] = rng.normal(size=len(rec)).astype(np.float32)
+    rec["r"] = rng.integers(0, 64, size=len(rec), dtype=np.uint16)
+    out = native_io.decode(3, rec.tobytes())  # FORMAT_HELIPR5
+    assert out.shape == (256, 5)
+    np.testing.assert_array_equal(out[:, 4].astype(np.uint16), rec["r"])
+    want = np.stack([rec["x"], rec["y"], rec["z"], rec["i"]],
+                    axis=-1).astype(np.float32)
+    np.testing.assert_array_equal(out[:, :4], want)

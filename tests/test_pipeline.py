@@ -483,3 +483,53 @@ def test_database_autosave_survives_crash(tmp_path):
                      loop_closure_interval=10, database_path=str(db),
                      resume_database=True)
     assert pipe2.retrieval.retriever.database_size >= n_file
+
+
+def test_ring_encoder_uses_explicit_helipr_ring_ids():
+    """A firing-interleaved VLP-16 stream (ring cycling per point, the
+    HeLiPR on-disk order) reaches the ring fast path ONLY via explicit
+    ring ids — elevation-order inference cannot segment it — and the
+    result stays exactly the general path's."""
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        infer_ring_ids_from_sweep, prepare_structured)
+    from neural_spectral_codec_tpu.ops.spectral import (
+        SpectralEncoderConfig, encode_points_batch)
+    from neural_spectral_codec_tpu.pipeline import RingMajorBatchEncoder
+    import jax.numpy as jnp
+
+    cfg = SpectralEncoderConfig(n_elevation=16, n_azimuth=360, n_bins=20,
+                                target_elevation_bins=8,
+                                elevation_range_deg=(-15.0, 15.0))
+    rng = np.random.default_rng(6)
+    R, P = 16, 256
+    # firing-interleaved: point order is (azimuth step, ring) — each
+    # consecutive point jumps to the next ring's elevation
+    el = np.radians(-15.0 + (np.arange(R) + 0.5) * 30.0 / R)
+    az0 = rng.uniform(0, 2 * np.pi)
+    az = az0 + np.arange(P) / P * 2 * np.pi
+    AZ, EL = np.meshgrid(az, el, indexing="ij")      # (P, R): azimuth-major
+    r = rng.uniform(2.0, 70.0, (P, R))
+    pts = np.stack([r * np.cos(EL) * np.cos(AZ),
+                    r * np.cos(EL) * np.sin(AZ),
+                    r * np.sin(EL),
+                    rng.uniform(0, 1, (P, R))], -1).astype(np.float32)
+    flat = pts.reshape(-1, 4)
+    ring_ids = np.tile(np.arange(R), P)
+
+    # inference CANNOT recover rings from this order...
+    assert prepare_structured(flat, infer_ring_ids_from_sweep(flat),
+                              cfg) is None
+    # ...explicit ids CAN
+    assert prepare_structured(flat, ring_ids, cfg) is not None
+
+    enc = RingMajorBatchEncoder(cfg, max_points=8192, batch_size=4)
+    got = enc.encode([flat], ring_ids=[ring_ids])
+    got1 = enc.encode_one(flat, ring_ids=ring_ids)
+    want = np.asarray(encode_points_batch(
+        jnp.asarray(pad_points(flat, 8192)[None]), jnp.float32(2.0), cfg))[0]
+    # same-batch-shape comparison is bit-exact; the RING_B=8 executable
+    # tiles the spectral matmuls differently from this B=1 reference
+    # (~1 ulp reduction-order noise)
+    np.testing.assert_allclose(got[0], want, atol=1e-8)
+    np.testing.assert_array_equal(got1, want)
