@@ -114,7 +114,7 @@ int64_t decode(int format, const uint8_t* raw, int64_t nbytes, float* out,
 }
 
 struct Slot {
-  std::vector<float> data;  // (n_points, 4) rows
+  std::vector<float> data;  // (n_points, row_floats(format)) rows
   int64_t n_points = 0;
   int status = NSC_IO_OK;
   int64_t seq = -1;  // item index currently published in this slot
@@ -238,7 +238,8 @@ int nsc_prefetch_peek(void* h, int64_t seq, int64_t* n_points) {
   return s.status;
 }
 
-// Copy item `seq` into out ((n_points, 4) float32, from peek) and advance.
+// Copy item `seq` into out ((n_points, row_floats(format)) float32, from
+// peek) and advance.
 // out may be null when the item errored or is empty. Returns 0, or -1 on
 // protocol misuse (seq not peeked/ready, or destroy in progress).
 int nsc_prefetch_take(void* h, int64_t seq, float* out) {

@@ -96,10 +96,6 @@ class HeLiPRLoader:
         ).astype(np.float32)
         return pts, data["ring"].astype(np.int64)
 
-    @classmethod
-    def _load_velodyne(cls, filepath: Path) -> np.ndarray:
-        return cls._load_velodyne_full(filepath)[0]
-
     def __len__(self) -> int:
         return len(self.scan_files)
 

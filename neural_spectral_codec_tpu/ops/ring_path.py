@@ -318,6 +318,16 @@ def ring_elevation_centers(config: ProjectionConfig,
     return lo + step * (np.arange(n_rings) + 0.5)
 
 
+def _elev_gate_np(valid: np.ndarray, elev: np.ndarray,
+                  config: ProjectionConfig) -> np.ndarray:
+    """Host-side drop-mode elevation gate (mirrors
+    range_image._valid_mask; no-op in clip mode)."""
+    if config.elevation_mode == "drop":
+        valid = valid & (elev >= config.elevation_min) \
+            & (elev <= config.elevation_max)
+    return valid
+
+
 def ring_structure_report(points: np.ndarray, config: ProjectionConfig,
                           row_of_ring: Sequence[int]) -> dict:
     """Host-side contract check for (B, R, P, 3|4) input (numpy mirror of
@@ -337,10 +347,8 @@ def ring_structure_report(points: np.ndarray, config: ProjectionConfig,
                   config.n_azimuth - 1).astype(np.int64)
     elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
                                   + np.clip(ys * ys, 0, 1e10)))
-    if config.elevation_mode == "drop":
-        # dropped points are holes, not contract violations (_ring_keys)
-        valid = valid & (elev >= config.elevation_min) \
-            & (elev <= config.elevation_max)
+    # drop mode: dropped points are holes, not contract violations
+    valid = _elev_gate_np(valid, elev, config)
     span = config.elevation_max - config.elevation_min
     eb = np.clip(np.floor((elev - config.elevation_min) / span
                           * config.n_elevation), 0,
@@ -444,11 +452,9 @@ def infer_row_of_ring(rings: np.ndarray,
     valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
     elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
                                   + np.clip(ys * ys, 0, 1e10)))
-    if config.elevation_mode == "drop":
-        # an entirely out-of-band ring must report row -1 (dropped), not
-        # vote itself into a clipped boundary row
-        valid = valid & (elev >= config.elevation_min) \
-            & (elev <= config.elevation_max)
+    # drop mode: an entirely out-of-band ring must report row -1
+    # (dropped), not vote itself into a clipped boundary row
+    valid = _elev_gate_np(valid, elev, config)
     span = config.elevation_max - config.elevation_min
     eb = np.clip(np.floor((elev - config.elevation_min) / span
                           * config.n_elevation), 0,

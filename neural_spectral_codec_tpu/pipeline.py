@@ -174,8 +174,7 @@ class RingMajorBatchEncoder(BatchEncoder):
                 # explicit ids (HeLiPR ring field) reach the fast path
                 # even for firing-interleaved streams, where elevation-
                 # order inference cannot recover rings
-                rid = (ring_ids[i] if ring_ids is not None
-                       and ring_ids[i] is not None else None)
+                rid = ring_ids[i] if ring_ids is not None else None
                 rid = (np.asarray(rid)[:self.max_points] if rid is not None
                        else infer_ring_ids_from_sweep(c))
                 prep = prepare_structured(c, rid, self.config)
@@ -247,8 +246,8 @@ class NeuralSpectralCodecPipeline:
         # here they actually ablate the respective subsystem
         ab = config.get("ablation", {})
         self.ablate_gnn = ab.get("disable_gnn", False)
-        self._ablate_temporal_edges = ab.get("disable_temporal_edges", False)
-        self._ablate_context = ab.get("disable_context", False)
+        ablate_temporal_edges = ab.get("disable_temporal_edges", False)
+        ablate_context = ab.get("disable_context", False)
 
         kf = config.get("keyframe", {})
         self.selector = KeyframeSelector(
@@ -259,7 +258,7 @@ class NeuralSpectralCodecPipeline:
             voxel_size=kf.get("voxel_size", 0.2),
             max_keyframes=kf.get("max_keyframes", 100_000),
         )
-        self.temporal_neighbors = (0 if self._ablate_temporal_edges
+        self.temporal_neighbors = (0 if ablate_temporal_edges
                                    else kf.get("temporal_neighbors", 5))
         self.graph_manager = TemporalGraphManager(
             temporal_neighbors=self.temporal_neighbors,
@@ -271,7 +270,7 @@ class NeuralSpectralCodecPipeline:
         # training.mixed_precision: the TPU analog of the reference's dead
         # gpu.mixed_precision knob (reference configs/training.yaml:85) —
         # bf16 matmuls on the MXU, float32 params/BN/softmax/loss
-        import jax.numpy as jnp_
+        import jax.numpy as jnp
         mp = cfg_get(config, "training.mixed_precision",
                      g.get("mixed_precision", False))
         self.model = SpectralGNN(
@@ -282,7 +281,7 @@ class NeuralSpectralCodecPipeline:
             dropout=g.get("dropout", 0.1),
             residual=g.get("residual", True),
             edge_dim=g.get("edge_dim", 2),
-            compute_dtype=jnp_.bfloat16 if mp else None,
+            compute_dtype=jnp.bfloat16 if mp else None,
         )
         self.params = None
         self.batch_stats = None
@@ -333,7 +332,7 @@ class NeuralSpectralCodecPipeline:
             spatial_filter_distance=r.get(
                 "spatial_filter_distance",
                 cfg_get(config, "loop_closing.min_loop_distance", 50.0)),
-            context_window=(0 if self._ablate_context
+            context_window=(0 if ablate_context
                             else r.get("context_window", 10)),
             fitness_threshold=r.get("icp_fitness_threshold", 0.3),
             rmse_threshold=r.get("icp_rmse_threshold", 0.5),

@@ -275,37 +275,30 @@ class TwoStageRetrieval:
         (ops/quantization.py codec; 220 B/keyframe at the reference's
         50-bin config, descriptor-dim-scaled otherwise). Returns the
         record count."""
-        from neural_spectral_codec_tpu.ops.quantization import (
-            DescriptorDatabaseFile, compress_descriptor)
         import os
         if os.path.exists(path):
             os.remove(path)
-        db = DescriptorDatabaseFile(path, n_bins=self.retriever.n_bins)
-        for kf in self.keyframes:
-            pts = kf.points if kf.points is not None \
-                else np.zeros((0, 3), np.float32)
-            db.append(compress_descriptor(
-                kf.descriptor,
-                kf.pose if kf.pose is not None else np.eye(4),
-                kf.timestamp, kf.keyframe_id, points=pts))
-        return len(self.keyframes)
+        return self.append_database(path, 0)
 
     def append_database(self, path: str, start: int) -> int:
-        """Append records for ``keyframes[start:]`` to an existing store
-        (the format is append-only fixed-size records, so periodic
-        appends give crash-safe incremental persistence: a torn final
-        record is dropped by ``read_all``'s record-size truncation).
-        Returns the new persisted count, ``len(self.keyframes)``."""
+        """Append records for ``keyframes[start:]`` to the store (the
+        format is append-only fixed-size records, so periodic appends
+        give crash-safe incremental persistence: a torn final record is
+        dropped by ``read_all``'s record-size truncation). One open/write
+        per call. Returns the new persisted count, ``len(self.keyframes)``."""
         from neural_spectral_codec_tpu.ops.quantization import (
-            DescriptorDatabaseFile, compress_descriptor)
-        db = DescriptorDatabaseFile(path, n_bins=self.retriever.n_bins)
+            compress_descriptor)
+        recs = []
         for kf in self.keyframes[start:]:
             pts = kf.points if kf.points is not None \
                 else np.zeros((0, 3), np.float32)
-            db.append(compress_descriptor(
+            recs.append(compress_descriptor(
                 kf.descriptor,
                 kf.pose if kf.pose is not None else np.eye(4),
-                kf.timestamp, kf.keyframe_id, points=pts))
+                kf.timestamp, kf.keyframe_id, points=pts).to_bytes())
+        if recs:
+            with open(path, "ab") as f:
+                f.write(b"".join(recs))
         return len(self.keyframes)
 
     def database_file_records(self, path: str) -> int:
