@@ -20,6 +20,7 @@ from neural_spectral_codec_tpu.ops.spectral import (  # noqa: F401
 from neural_spectral_codec_tpu.ops.ring_path import (  # noqa: F401
     encode_points_ring_batch,
     encode_structured,
+    infer_ring_ids_by_elevation,
     infer_ring_ids_from_sweep,
     infer_row_of_ring,
     points_to_rings,

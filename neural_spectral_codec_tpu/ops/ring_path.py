@@ -436,6 +436,50 @@ def infer_ring_ids_from_sweep(points: np.ndarray,
     return np.concatenate([[0], np.cumsum(jump)]).astype(np.int64)
 
 
+def infer_ring_ids_by_elevation(points: np.ndarray,
+                                min_ring_gap_rad: float = 2e-3,
+                                max_rings: int = 128
+                                ) -> Optional[np.ndarray]:
+    """Recover ring ids for a FIRING-INTERLEAVED stream (ring cycling
+    per azimuth step — NCLT's HDL-32E order, or any VLP stream whose
+    ring field was stripped), where :func:`infer_ring_ids_from_sweep`'s
+    in-order jump detection sees a boundary at every point.
+
+    A ring is a fixed laser with a (near-)constant elevation angle, so
+    the SORTED elevations of a scan cluster into at most n_beams bands
+    separated by the inter-beam gap (HDL-32E spacing ~23 mrad vs ~sub-
+    mrad coordinate-quantization noise). Cluster = maximal run of sorted
+    elevations with consecutive gaps ≤ ``min_ring_gap_rad``; ring id =
+    cluster index (bottom-up). Returns None when the elevations don't
+    separate into ≤ ``max_rings`` bands (dense/unstructured cloud) —
+    and, as with every inference here, :func:`prepare_structured`'s
+    contract check falls back to the exact general path if the guess is
+    wrong, so a misassignment can never corrupt a descriptor. Invalid
+    (NaN) points inherit the previous point's ring (sensor-order
+    locality), becoming in-ring holes."""
+    pts = np.asarray(points)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+    if not finite.any():
+        return None
+    xs = np.where(finite, x, 1.0)
+    ys = np.where(finite, y, 0.0)
+    zs = np.where(finite, z, 0.0)
+    elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
+                                  + np.clip(ys * ys, 0, 1e10)))
+    ev = np.sort(elev[finite])
+    boundaries = ev[:-1][np.diff(ev) > min_ring_gap_rad]  # cluster tops
+    if len(boundaries) + 1 > max_rings:
+        return None
+    # side="left": a point exactly AT a cluster's top elevation belongs
+    # to that (lower) cluster, not the next one
+    rid = np.searchsorted(boundaries, elev, side="left").astype(np.int64)
+    # NaN points: inherit the previous valid point's ring
+    idx = np.where(finite, np.arange(len(pts)), -1)
+    np.maximum.accumulate(idx, out=idx)
+    return rid[np.maximum(idx, 0)]
+
+
 def infer_row_of_ring(rings: np.ndarray,
                       config: ProjectionConfig) -> np.ndarray:
     """Per-ring dominant elevation row (mode over valid points) — the

@@ -142,12 +142,31 @@ class RingMajorBatchEncoder(BatchEncoder):
 
     RING_B = 8
 
+    def _prepare_auto(self, cloud: np.ndarray, explicit_ids):
+        """Contract-checked ring-major preparation: explicit ids when the
+        sensor provides them (HeLiPR), else sweep-order inference
+        (ring-major streams, KITTI .bin), else elevation clustering
+        (firing-interleaved streams, NCLT). None -> exact general path."""
+        from neural_spectral_codec_tpu.ops.ring_path import (
+            infer_ring_ids_by_elevation, infer_ring_ids_from_sweep,
+            prepare_structured)
+        if explicit_ids is not None:
+            return prepare_structured(
+                cloud, np.asarray(explicit_ids)[:self.max_points],
+                self.config)
+        prep = prepare_structured(cloud, infer_ring_ids_from_sweep(cloud),
+                                  self.config)
+        if prep is None:
+            rid = infer_ring_ids_by_elevation(cloud)
+            if rid is not None:
+                prep = prepare_structured(cloud, rid, self.config)
+        return prep
+
     def encode(self, clouds: Sequence[np.ndarray],
                ring_ids: Optional[Sequence] = None) -> np.ndarray:
         import jax.numpy as jnp
         from neural_spectral_codec_tpu.ops.ring_path import (
-            encode_points_ring_batch, infer_ring_ids_from_sweep,
-            prepare_structured)
+            encode_points_ring_batch)
 
         out = np.zeros((len(clouds), self.config.output_dim), np.float32)
         pending: Dict = {}
@@ -169,15 +188,9 @@ class RingMajorBatchEncoder(BatchEncoder):
         # gigabytes of ring-major copies before the first device batch)
         for i, cloud in enumerate(clouds):
             c = np.asarray(cloud)[:self.max_points]
-            prep = None
-            if len(c):
-                # explicit ids (HeLiPR ring field) reach the fast path
-                # even for firing-interleaved streams, where elevation-
-                # order inference cannot recover rings
-                rid = ring_ids[i] if ring_ids is not None else None
-                rid = (np.asarray(rid)[:self.max_points] if rid is not None
-                       else infer_ring_ids_from_sweep(c))
-                prep = prepare_structured(c, rid, self.config)
+            prep = (self._prepare_auto(
+                c, ring_ids[i] if ring_ids is not None else None)
+                if len(c) else None)
             if prep is None:
                 fallback.append(i)
                 continue
@@ -196,16 +209,18 @@ class RingMajorBatchEncoder(BatchEncoder):
 
     def encode_one(self, cloud: np.ndarray,
                    ring_ids: Optional[np.ndarray] = None) -> np.ndarray:
+        import jax.numpy as jnp
         from neural_spectral_codec_tpu.ops.ring_path import (
-            encode_structured, infer_ring_ids_from_sweep)
+            encode_points_ring_batch)
         cloud = np.asarray(cloud)[:self.max_points]
-        if len(cloud) == 0:
+        prep = self._prepare_auto(cloud, ring_ids) if len(cloud) else None
+        if prep is None:
+            # exact general path, through the same B=1 executable the
+            # base online loop uses
             return super().encode_one(cloud)
-        rids = (np.asarray(ring_ids)[:self.max_points]
-                if ring_ids is not None
-                else infer_ring_ids_from_sweep(cloud))
-        return encode_structured(cloud, rids, float(self.alpha),
-                                 self.config)
+        rings, rows = prep
+        return np.asarray(encode_points_ring_batch(
+            jnp.asarray(rings[None]), self.alpha, self.config, rows))[0]
 
 
 class NeuralSpectralCodecPipeline:

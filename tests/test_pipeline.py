@@ -526,6 +526,9 @@ def test_ring_encoder_uses_explicit_helipr_ring_ids():
     enc = RingMajorBatchEncoder(cfg, max_points=8192, batch_size=4)
     got = enc.encode([flat], ring_ids=[ring_ids])
     got1 = enc.encode_one(flat, ring_ids=ring_ids)
+    # without explicit ids the encoder recovers rings by elevation
+    # clustering (infer_ring_ids_by_elevation) and still hits the fast path
+    got2 = enc.encode_one(flat)
     want = np.asarray(encode_points_batch(
         jnp.asarray(pad_points(flat, 8192)[None]), jnp.float32(2.0), cfg))[0]
     # same-batch-shape comparison is bit-exact; the RING_B=8 executable
@@ -533,3 +536,4 @@ def test_ring_encoder_uses_explicit_helipr_ring_ids():
     # (~1 ulp reduction-order noise)
     np.testing.assert_allclose(got[0], want, atol=1e-8)
     np.testing.assert_array_equal(got1, want)
+    np.testing.assert_array_equal(got2, want)

@@ -450,3 +450,41 @@ def test_ring_path_three_folds_bitexact():
         (col_f >= 0.0).reshape(2, R * P),
         R * width)).reshape(2 * R, width)
     np.testing.assert_array_equal(got[:, :width], ref)
+
+
+def test_infer_ring_ids_by_elevation_interleaved():
+    """Firing-interleaved stream (ring cycling per point): sweep-order
+    inference fails, elevation clustering recovers the true rings."""
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        infer_ring_ids_by_elevation, infer_ring_ids_from_sweep,
+        prepare_structured)
+    from neural_spectral_codec_tpu.ops.spectral import SpectralEncoderConfig
+
+    cfg = SpectralEncoderConfig(n_elevation=16, n_azimuth=360, n_bins=20,
+                                elevation_range_deg=(-15.0, 15.0))
+    rng = np.random.default_rng(9)
+    R, P = 16, 200
+    el = np.radians(-15.0 + (np.arange(R) + 0.5) * 30.0 / R)
+    az = rng.uniform(0, 2 * np.pi) + np.arange(P) / P * 2 * np.pi
+    AZ, EL = np.meshgrid(az, el, indexing="ij")      # azimuth-major order
+    r = rng.uniform(2.0, 70.0, (P, R))
+    pts = np.stack([r * np.cos(EL) * np.cos(AZ), r * np.cos(EL) * np.sin(AZ),
+                    r * np.sin(EL), np.zeros((P, R))], -1).astype(np.float32)
+    flat = pts.reshape(-1, 4)
+    flat[rng.random(len(flat)) < 0.04] = np.nan      # holes inherit rings
+
+    rid = infer_ring_ids_by_elevation(flat)
+    assert rid is not None
+    true_ids = np.tile(np.arange(R), P)
+    valid = np.isfinite(flat).all(axis=1)
+    np.testing.assert_array_equal(rid[valid], true_ids[valid])
+
+    # sweep inference sees a boundary at every point -> contract fails
+    assert prepare_structured(flat, infer_ring_ids_from_sweep(flat),
+                              cfg) is None
+    # clustering ids pass the contract
+    assert prepare_structured(flat, rid, cfg) is not None
+
+    # unstructured cloud: elevations don't band -> refuse
+    dense = rng.normal(size=(4096, 4)).astype(np.float32)
+    assert infer_ring_ids_by_elevation(dense, max_rings=64) is None
