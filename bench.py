@@ -175,11 +175,16 @@ def main():
         x[:8].reshape(8, -1, 4), alpha, config))
     assert np.array_equal(d_ring, d_gen), "ring path diverged from general"
 
+    # iters sized so on-device work (iters x B x ~40 us) dominates the
+    # ~30 ms tunnel RTT whose run-to-run jitter otherwise leaks into the
+    # two-point subtraction: at iters=40 (round 3) repeated runs spread
+    # 22.9-31.4 us/scan; at 300 the device loop is ~100 ms and the
+    # residual jitter is < 0.1 us/scan.
     print("measuring ring path (timing-loop compiles)...",
           file=sys.stderr, flush=True)
     sps, us = measure(
         lambda x: encode_points_ring_batch(x, alpha, config, rows),
-        x, BENCH_B, iters=40)
+        x, BENCH_B, iters=300)
     print(f"FULL density N={FULL_N} ring-structured stream (ring path): "
           f"{us:.2f} us/scan = {sps:.0f} scans/s "
           f"({sps * FULL_N * 16 / 1e9:.1f} GB/s input stream)",
@@ -190,7 +195,7 @@ def main():
     rnd = jax.device_put(jnp.asarray(make_random_scans(BENCH_B, FULL_N)))
     gsps, gus = measure(
         lambda x: encode_points_batch(x, alpha, config), rnd, BENCH_B,
-        iters=10)
+        iters=50)
     print(f"FULL density N={FULL_N} arbitrary-order (general sorted "
           f"path): {gus:.2f} us/scan = {gsps:.0f} scans/s — the packed "
           f"1-key sort is ~2/3 of its runtime; ring-structured input "

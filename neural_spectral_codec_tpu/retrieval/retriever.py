@@ -173,7 +173,15 @@ class WassersteinRetriever:
     (W₁ metric only — CDFs are canonically in [0, 1]): half the device
     memory, so 2× the descriptors per chip, and ~2× less HBM traffic on
     the bandwidth-bound query scan. Ranking error is bounded by
-    n_bins·0.5/65535 (~6e-3 W₁ at 800 bins; see ``_CDF_QUANT``)."""
+    n_bins·0.5/65535 (~6e-3 W₁ at 800 bins; see ``_CDF_QUANT``).
+
+    TPU numerics note: querying a descriptor that is itself in the
+    database returns a self-distance of ~1e-4, not exactly 0 — the
+    insert path computes the CDF as a standalone batched cumsum while
+    the query path's cumsum is fused into the query kernel, and the two
+    lowerings round differently (~1e-7/bin × n_bins). Inter-place W₁
+    distances are ~3, so ranking is unaffected; on CPU both paths round
+    identically and self-distance is exactly 0."""
 
     def __init__(self, n_bins: int = 800, capacity: int = 100_000,
                  epsilon: float = 1e-8, metric: str = "wasserstein",
