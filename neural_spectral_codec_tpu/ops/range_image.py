@@ -238,9 +238,13 @@ def _segment_min_sorted_batch(linear_idx: jnp.ndarray, vals: jnp.ndarray,
     return sorted_idx, run_min, is_start
 
 
-# Default off until the head-to-head TPU measurement
-# (experiments/profile_hotpath.py) shows the fused sort beating the
-# vmapped one; flip via env NSC_FUSED_BATCH_SORT=1.
+# Measured LOSING on v5e (2026-08-19, experiments/profile_hotpath.py):
+# one fused 1.07M-element sort runs at 1.96 ns/elem vs 1.65 for the 8
+# vmapped 133k sorts — XLA's sort cost per element RISES from 133k to
+# 1M, so fusing the batch into one sort is an 18% regression, not a
+# constant-factor save. Kept default-off (bit-identical, CPU-tested)
+# for topologies where the crossover differs; flip via env
+# NSC_FUSED_BATCH_SORT=1.
 _FUSED_BATCH_SORT = bool(int(
     __import__("os").environ.get("NSC_FUSED_BATCH_SORT", "0")))
 
