@@ -514,16 +514,24 @@ def _fill_empty_rows(img: jnp.ndarray, row_nonempty: jnp.ndarray) -> jnp.ndarray
     return jnp.where(jnp.any(row_nonempty), out, img)
 
 
-@jax.jit
-def interpolate_range_image(img: jnp.ndarray) -> jnp.ndarray:
-    """Circular linear interpolation of empty (zero) pixels, per row.
+@functools.partial(jax.jit, static_argnames=("method",))
+def interpolate_range_image(img: jnp.ndarray,
+                            method: str = "linear") -> jnp.ndarray:
+    """Circular interpolation of empty (zero) pixels, per row.
 
-    Equivalent to the reference's ``np.interp`` over circularly extended
-    valid samples (range_image.py:52-64) followed by its empty-row fill
-    (range_image.py:78-87). TPU-first: nearest valid pixel left/right via
-    value-carrying pointer doubling (log2(width) roll+select steps, pure
-    VPU) instead of scans + gathers along the lane axis.
+    ``method='linear'`` is the reference's ``np.interp`` over circularly
+    extended valid samples (range_image.py:52-64); ``method='nearest'`` is
+    its nearest-valid-pixel fill (range_image.py:66-75) including the
+    tie-break — ``np.argmin`` over ascending valid indices picks the
+    candidate with the smaller ABSOLUTE column index, which with
+    wraparound is not always the left neighbor. Both are followed by the
+    empty-row fill (range_image.py:78-87). TPU-first: nearest valid pixel
+    left/right via value-carrying pointer doubling (log2(width)
+    roll+select steps, pure VPU) instead of scans + gathers along the
+    lane axis.
     """
+    if method not in ("linear", "nearest"):
+        raise ValueError(f"unknown interpolation method: {method!r}")
     n_rows, width = img.shape
     valid = img > 0.0
     d0 = jnp.where(valid, 0, _BIG).astype(jnp.int32)
@@ -545,12 +553,22 @@ def interpolate_range_image(img: jnp.ndarray) -> jnp.ndarray:
         shift *= 2
 
     row_has_valid = jnp.any(valid, axis=1, keepdims=True)
-    dl = d_l.astype(img.dtype)
-    dr = d_r.astype(img.dtype)
-    denom = dl + dr
-    safe = jnp.where(denom > 0, denom, 1.0)
-    interp = (val_l * dr + val_r * dl) / safe
-    interp = jnp.where(denom > 0, interp, val_l)
+    if method == "linear":
+        dl = d_l.astype(img.dtype)
+        dr = d_r.astype(img.dtype)
+        denom = dl + dr
+        safe = jnp.where(denom > 0, denom, 1.0)
+        interp = (val_l * dr + val_r * dl) / safe
+        interp = jnp.where(denom > 0, interp, val_l)
+    else:
+        # nearest: strictly closer side wins; on a distance tie the
+        # reference's argmin returns the first (ascending) valid index,
+        # i.e. the candidate at the smaller absolute column position.
+        cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+        idx_l = jnp.mod(cols - d_l, width)
+        idx_r = jnp.mod(cols + d_r, width)
+        take_left = (d_l < d_r) | ((d_l == d_r) & (idx_l <= idx_r))
+        interp = jnp.where(take_left, val_l, val_r)
 
     out = jnp.where(valid | ~row_has_valid, img, interp)
     return _fill_empty_rows(out, row_has_valid[:, 0])

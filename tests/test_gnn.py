@@ -141,6 +141,91 @@ def test_gat_golden_fixture_dense_layer():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_gat_golden_fixture_saturated_node():
+    """A node with ALL its neighbor slots valid (the 4-loop-slots-full
+    case) + self-loop — a 5-way softmax with fill_value='mean' over all
+    four edge attrs and one LeakyReLU-negative logit. Hand-derived from
+    the PyG GATConv equations (W=I, att_src=[1,0], att_dst=[0,1], We=I,
+    att_edge=[1,1], bias=[0,0.1]):
+      x0=[0,.5]; incoming h·att_src = .1/.2/−.3/.4, a_dst = .5,
+      edge terms = .1/−.2/−.4/0 → raw logits .7/.5/−.2/.9;
+      self: 0+.5+mean([.1,−.2,−.4,0])=.375.  LeakyReLU(0.2) maps −.2 →
+      −.04; softmax over [.7,.5,−.04,.9,.375]; out0 = Σ α·h_src + bias."""
+    x = np.array([[0.0, 0.5], [0.1, 0.0], [0.2, 0.0],
+                  [-0.3, 0.0], [0.4, 0.0]], np.float32)
+    neighbors = np.zeros((5, 4), np.int32)
+    mask = np.zeros((5, 4), bool)
+    edge_feats = np.zeros((5, 4, 2), np.float32)
+    neighbors[0] = [1, 2, 3, 4]
+    mask[0] = True                      # every slot full
+    edge_feats[0] = [[0.0, 0.1], [0.0, -0.2], [0.0, -0.4], [0.0, 0.0]]
+    params = {
+        "lin": jnp.eye(2, dtype=jnp.float32),
+        "att_src": jnp.asarray([[1.0, 0.0]], jnp.float32),
+        "att_dst": jnp.asarray([[0.0, 1.0]], jnp.float32),
+        "att_edge": jnp.asarray([[1.0, 1.0]], jnp.float32),
+        "lin_edge": jnp.eye(2, dtype=jnp.float32),
+        "bias": jnp.asarray([0.0, 0.1], jnp.float32),
+    }
+    layer = EdgeGATLayer(features=2, edge_dim=2)
+    out, alpha = layer.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(neighbors),
+        jnp.asarray(mask), jnp.asarray(edge_feats))
+    want_alpha0 = np.array([0.2358615850593268, 0.1931071331577891,
+                            0.11253284436865292, 0.2880819905354913,
+                            0.1704164468787399])
+    want_out0 = np.array([0.14368052804109116, 0.18520822343936996])
+    np.testing.assert_allclose(np.asarray(alpha)[0], want_alpha0,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out)[0], want_out0,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spectral_gnn_residual_projection_golden():
+    """Value-anchored fixture for the input_dim≠output_dim residual
+    branch (reference model.py:91-94: output + Linear(input_dim,
+    output_dim)(x_input)) AND the full wiring Dense→BN→ReLU→GAT→BN→Dense
+    in eval mode. All nodes isolated → the GAT collapses to h@W + bias
+    (self-loop softmax = 1), so the whole forward is closed-form.
+
+    Derivation (c = 1/√(1+1e-5), the eval BatchNorm with fresh running
+    stats): x1 = relu(c·(x_in·I + [.5,−.5])); x2 = c·(x1·Wg + bg) with
+    Wg=[[1,1],[0,1]], bg=[.1,.2]; out = x2·Ko + [0,0,.25]
+    + (x_in·Kr + [.05,0,0]) with Ko=[[1,0,1],[0,1,1]],
+    Kr=[[1,2,0],[0,1,3]]."""
+    model = SpectralGNN(input_dim=2, hidden_dim=2, output_dim=3,
+                        n_layers=1, edge_dim=None, dropout=0.0)
+    x_in = jnp.asarray([[1.0, 2.0], [3.0, -1.0]], jnp.float32)
+    neighbors = jnp.zeros((2, 4), jnp.int32)
+    mask = jnp.zeros((2, 4), bool)
+    variables = model.init({"params": jax.random.key(0)},
+                           x_in, neighbors, mask, None)
+    p = jax.tree.map(np.asarray, variables["params"])
+    assert set(p) == {"Dense_0", "BatchNorm_0", "EdgeGATLayer_0",
+                      "BatchNorm_1", "Dense_1", "residual_proj"}
+    p["Dense_0"] = {"kernel": np.eye(2, dtype=np.float32),
+                    "bias": np.array([0.5, -0.5], np.float32)}
+    p["EdgeGATLayer_0"] = {
+        "lin": np.array([[1.0, 1.0], [0.0, 1.0]], np.float32),
+        "att_src": np.array([[0.7, -0.3]], np.float32),  # irrelevant:
+        "att_dst": np.array([[-0.2, 0.9]], np.float32),  # softmax over 1
+        "bias": np.array([0.1, 0.2], np.float32),
+    }
+    p["Dense_1"] = {"kernel": np.array([[1.0, 0.0, 1.0],
+                                        [0.0, 1.0, 1.0]], np.float32),
+                    "bias": np.array([0.0, 0.0, 0.25], np.float32)}
+    p["residual_proj"] = {"kernel": np.array([[1.0, 2.0, 0.0],
+                                              [0.0, 1.0, 3.0]], np.float32),
+                          "bias": np.array([0.05, 0.0, 0.0], np.float32)}
+    out = model.apply({"params": p,
+                       "batch_stats": variables["batch_stats"]},
+                      x_in, neighbors, mask, None, train=False)
+    want = np.array([
+        [2.6499845001537485, 7.199969000307497, 11.049953500461246],
+        [6.649964500353747, 8.699964000357497, 4.5499285007112436]])
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+
 def test_gat_golden_fixture_coo_oracle():
     """The COO numpy oracle reproduces the same golden constants — so the
     oracle-vs-dense test below is anchored to PyG semantics rather than

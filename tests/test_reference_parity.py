@@ -56,6 +56,35 @@ def test_interpolation_matches_reference(rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_nearest_interpolation_matches_reference(rng):
+    from encoding.range_image import interpolate_range_image as ref_interp
+    import jax.numpy as jnp
+    from neural_spectral_codec_tpu.ops.range_image import (
+        interpolate_range_image)
+
+    # dense + sparse rows, empty rows, and a wraparound-tie-prone layout
+    img = rng.uniform(0, 80, (64, 360)).astype(np.float32)
+    img[img < 40] = 0.0          # ~half the pixels empty → plenty of ties
+    img[10:13] = 0.0             # empty rows
+    img[20, :] = 0.0             # row with a single valid pixel
+    img[20, 359] = 5.0           #   (both directions wrap to the same col)
+    ref = ref_interp(img.copy(), method="nearest")
+    got = np.asarray(interpolate_range_image(jnp.asarray(img),
+                                             method="nearest"))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    # adversarial tiny widths exercise every tie-break case incl. the
+    # even-width antipodal tie (idx_l == idx_r)
+    for w in (4, 5, 8):
+        for _ in range(50):
+            small = (rng.uniform(0, 10, (3, w)).astype(np.float32)
+                     * (rng.uniform(size=(3, w)) > 0.5))
+            ref = ref_interp(small.copy(), method="nearest")
+            got = np.asarray(interpolate_range_image(jnp.asarray(small),
+                                                     method="nearest"))
+            np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 def test_descriptor_matches_reference_torch_encoder(rng):
     """Flagship parity: the reference's actual nn.Module encoder
     (projection → interpolation → rFFT → binning → normalize) vs our
