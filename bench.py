@@ -113,7 +113,7 @@ def main():
     import jax.numpy as jnp
     from neural_spectral_codec_tpu.ops.ring_path import (
         encode_points_ring_batch, make_structured_ring_scans,
-        ring_structure_report)
+        ring_stage_bounds, ring_structure_report)
     from neural_spectral_codec_tpu.ops.spectral import (
         SpectralEncoderConfig, encode_points_batch)
 
@@ -164,13 +164,19 @@ def main():
                                        config.projection, seed=0)
     rep = ring_structure_report(scans[:2], config.projection, rows)
     assert rep["ok"] and rep["max_folds_needed"] <= 2, rep
+    # host-certified bounded doubling depths for THIS input (exactness
+    # conditions in ring_stage_bounds; the parity assertion below checks
+    # the bounded kernel against the general path bit-for-bit)
+    bounds = ring_stage_bounds(scans, config.projection)
+    print(f"certified stage bounds (fill, runmin): {bounds}",
+          file=sys.stderr, flush=True)
     x = jax.device_put(jnp.asarray(scans))
 
     # output parity ring vs general on this exact input (bit-identical)
     print("parity check: compiling ring + general paths...",
           file=sys.stderr, flush=True)
     d_ring = np.asarray(encode_points_ring_batch(x[:8], alpha, config,
-                                                 rows))
+                                                 rows, 2, bounds))
     d_gen = np.asarray(encode_points_batch(
         x[:8].reshape(8, -1, 4), alpha, config))
     assert np.array_equal(d_ring, d_gen), "ring path diverged from general"
@@ -183,7 +189,8 @@ def main():
     print("measuring ring path (timing-loop compiles)...",
           file=sys.stderr, flush=True)
     sps, us = measure(
-        lambda x: encode_points_ring_batch(x, alpha, config, rows),
+        lambda x: encode_points_ring_batch(x, alpha, config, rows, 2,
+                                           bounds),
         x, BENCH_B, iters=300)
     print(f"FULL density N={FULL_N} ring-structured stream (ring path): "
           f"{us:.2f} us/scan = {sps:.0f} scans/s "

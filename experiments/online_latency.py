@@ -62,6 +62,10 @@ def main(argv=None):
     p.add_argument("--async", dest="async_lc", action="store_true",
                    help="background loop closing: verification off the "
                         "per-scan hot path")
+    p.add_argument("--no-fused-query", action="store_true",
+                   help="disable the one-dispatch serving step "
+                        "(deployment.fused_query) to measure the split "
+                        "encode/insert/query dispatch chain instead")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -73,6 +77,10 @@ def main(argv=None):
                           "configs" / "inference.yaml"))
     cfg["encoding"].update({"max_points": args.n_points})
     cfg.setdefault("deployment", {})["max_latency_ms"] = 100.0
+    if args.no_fused_query:
+        cfg["deployment"]["fused_query"] = False
+    print(f"one-dispatch serving (deployment.fused_query): "
+          f"{not args.no_fused_query}")
 
     loader = TimedLoader(SyntheticLoader(
         n_frames=args.frames, seed=3, n_points=args.n_points, loops=2.5))

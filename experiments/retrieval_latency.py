@@ -204,6 +204,39 @@ def build_db(storage, size, capacity):
     return db
 
 
+def ranking_parity(size, n_queries=64, top_k=10, seed=7):
+    """Top-k ranking agreement between fp32 and uint16 storage at the
+    same database contents: fraction of queries whose top-1 matches, and
+    mean top-k overlap. Uses the PRODUCTION query path for both."""
+    from neural_spectral_codec_tpu.retrieval.retriever import (
+        WassersteinRetriever)
+    rng = np.random.default_rng(seed)
+    dbs = {}
+    rows_np = None
+    for storage in ("float32", "uint16"):
+        db = WassersteinRetriever(n_bins=N_BINS, capacity=size,
+                                  storage=storage)
+        r = np.random.default_rng(0)
+        chunk = 50_000
+        for s in range(0, size, chunk):
+            m = min(chunk, size - s)
+            h = r.random((m, N_BINS), np.float32)
+            db.add_to_database(h / h.sum(axis=1, keepdims=True),
+                               r.random((m, 3), np.float32) * 1000)
+        dbs[storage] = db
+    q = rng.random((n_queries, N_BINS), np.float32)
+    q = q / q.sum(axis=1, keepdims=True)
+    idx_f, _ = dbs["float32"].query_batch(q, top_k=top_k)
+    idx_u, _ = dbs["uint16"].query_batch(q, top_k=top_k)
+    top1 = float(np.mean(idx_f[:, 0] == idx_u[:, 0]))
+    overlap = float(np.mean([
+        len(set(idx_f[i]) & set(idx_u[i])) / top_k
+        for i in range(n_queries)]))
+    del dbs
+    return {"top1_match": top1, f"top{top_k}_overlap": overlap,
+            "n_queries": n_queries}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=100_000)
@@ -218,6 +251,11 @@ def main(argv=None):
     p.add_argument("--int-domain", action="store_true",
                    help="for uint16, also time the integer-domain W1 "
                         "candidate (no per-element dequant convert)")
+    p.add_argument("--sweep", action="store_true",
+                   help="the VERDICT-r4 #2 matrix: sizes 100k/1M/2M x "
+                        "storage x (single+batched+int-domain) plus a "
+                        "1M ranking-parity check; writes "
+                        "experiments/retrieval_latency.json")
     p.add_argument("--platform", choices=("cpu", "tpu", "axon"),
                    help="force a JAX platform (CPU smoke runs)")
     args = p.parse_args(argv)
@@ -228,6 +266,38 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
+
+    if args.sweep:
+        import json
+        out = {"queries": args.queries, "iters": args.iters, "rows": []}
+        for size in (100_000, 1_000_000, 2_000_000):
+            for storage in ("float32", "uint16"):
+                if storage == "float32" and size > 1_000_000:
+                    # 2M x 800 f32 = 6.4 GB of HBM for a mode whose point
+                    # is that uint16 makes 2M practical; measured at 1M
+                    continue
+                db = build_db(storage, size, capacity=size)
+                gb = size * N_BINS * (4 if storage == "float32" else 2) / 1e9
+                row = {"size": size, "storage": storage, "db_gb": gb}
+                row["batched_us"] = 1e6 * measure(
+                    db, size, args.queries, args.iters)
+                row["single_us"] = 1e6 * measure(
+                    db, size, 1, args.iters, single=True)
+                if storage == "uint16":
+                    row["int_batched_us"] = 1e6 * measure_int_domain(
+                        db, size, args.queries, args.iters)
+                    row["int_single_us"] = 1e6 * measure_int_domain(
+                        db, size, 1, args.iters, single=True)
+                print(row, flush=True)
+                out["rows"].append(row)
+                del db
+        print("ranking parity at 1M rows...", file=sys.stderr, flush=True)
+        out["parity_1m"] = ranking_parity(1_000_000)
+        print(out["parity_1m"], flush=True)
+        path = Path(__file__).parent / "retrieval_latency.json"
+        path.write_text(json.dumps(out, indent=2))
+        print(f"wrote {path}", file=sys.stderr)
+        return
 
     sizes = [args.size] + ([1_000_000] if args.also_1m else [])
     for size in sizes:

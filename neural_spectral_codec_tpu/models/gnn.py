@@ -232,6 +232,59 @@ def _jitted_fused_encode_apply(model: SpectralGNN, enc_config):
 
 
 @functools.lru_cache(maxsize=32)
+def _jitted_serving_step(model: SpectralGNN, enc_config, top_k: int,
+                         metric: str, storage: str, epsilon: float,
+                         do_query: bool, do_insert: bool):
+    """THE one-dispatch online serving executable: descriptor extraction
+    + local-GNN refresh + stage-1 retrieval query + database row insert
+    in a SINGLE jitted program with the database buffers donated.
+
+    Per keyframe scan the online loop otherwise pays separate dispatches
+    for the encoder+GNN, the database insert, and (every Nth keyframe)
+    the stage-1 query — each ~30 ms of tunnel RTT on the tunneled
+    harness (VERDICT r4 #3). Here everything the device must do for one
+    keyframe is one program + ONE fetch; the database never leaves the
+    device.
+
+    Ordering: the query runs BEFORE the insert against ``eff_size`` rows
+    — the caller computes eff_size = size − (context_window − 1), which
+    selects exactly the rows the split path's insert-then-query with
+    exclude_last=context_window sees (the new row itself is always
+    inside the exclusion window). Ranking math is
+    ``retrieval.retriever._query_math`` — the same body as the
+    standalone query kernel.
+    """
+    from neural_spectral_codec_tpu.ops.spectral import encode_points_batch
+    from neural_spectral_codec_tpu.retrieval.retriever import (
+        _encode_rows_math, _query_math)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(db_rows, db_pos, points, alpha, params, batch_stats,
+             features, neighbors, mask, edge_feats, center,
+             insert_at, eff_size, qp, insert_pos):
+        desc = encode_points_batch(points[None], alpha, enc_config)[0]
+        features = jax.lax.dynamic_update_slice(
+            features, desc[None], (center, jnp.int32(0)))
+        emb = model.apply({"params": params, "batch_stats": batch_stats},
+                          features, neighbors, mask, edge_feats,
+                          train=False)
+        vec = emb[center] if metric == "l2" else desc
+        aux = ()
+        if do_query:
+            idx, dist = _query_math(db_rows, db_pos, eff_size, vec, qp,
+                                    top_k, metric, epsilon)
+            aux = (idx, dist)
+        if do_insert:
+            row = _encode_rows_math(vec[None], metric, storage, epsilon)
+            db_rows = jax.lax.dynamic_update_slice(
+                db_rows, row, (insert_at, jnp.int32(0)))
+            db_pos = jax.lax.dynamic_update_slice(
+                db_pos, insert_pos[None], (insert_at, jnp.int32(0)))
+        return (db_rows, db_pos, desc, emb) + aux
+    return step
+
+
+@functools.lru_cache(maxsize=32)
 def _jitted_train_apply(model: SpectralGNN):
     @jax.jit
     def apply(params, batch_stats, features, neighbors, mask, edge_feats, rng):
@@ -315,6 +368,71 @@ class LocalUpdateGNN:
         for node in core:
             manager.keyframes[node].embedding = emb[mapping[node]]
         return sorted(core)
+
+    def serve_step(self, manager, center_node: int, points_padded, alpha,
+                   enc_config, retrieval, do_query: bool,
+                   query_pose_position=None):
+        """Full online keyframe step in ONE device dispatch + ONE fetch:
+        descriptor + k-hop local GNN refresh + stage-1 database insert
+        (+ the stage-1 top-k query on loop-closing keyframes). The
+        database buffers are donated through the executable and never
+        leave the device (VERDICT r4 #3: the split path pays a separate
+        ~30 ms tunnel RTT for the query dispatch and another for the
+        insert).
+
+        ``retrieval`` is a TwoStageRetrieval whose retriever must be a
+        single-device WassersteinRetriever. Returns
+        (descriptor, refreshed node list, stage1) where stage1 is
+        ``None`` when ``do_query`` is False, else (indices, distances)
+        filtered to valid entries — exactly what
+        ``retriever.query(...)`` returns for the same snapshot."""
+        import numpy as np
+
+        sub, mapping = manager.get_local_subgraph(center_node, self.k_hops)
+        padded = self._padded(sub)
+        ret = retrieval.retriever
+        fn = _jitted_serving_step(
+            self.model, enc_config, int(min(retrieval.top_k, ret.capacity)),
+            ret.metric, ret.storage, ret.epsilon, bool(do_query), True)
+        qp = np.zeros(4, np.float32)
+        if do_query and query_pose_position is not None:
+            qp[:3] = np.asarray(query_pose_position)
+            qp[3] = retrieval.spatial_filter_distance
+        insert_pos = (np.asarray(query_pose_position, np.float32)
+                      if query_pose_position is not None
+                      else np.zeros(3, np.float32))
+
+        def dispatch(db_rows, db_pos, insert_at, eff_size):
+            return fn(db_rows, db_pos, jnp.asarray(points_padded), alpha,
+                      self.params, self.batch_stats,
+                      jnp.asarray(padded.features),
+                      jnp.asarray(padded.neighbors),
+                      jnp.asarray(padded.mask),
+                      jnp.asarray(padded.edge_feats),
+                      jnp.int32(mapping[center_node]), insert_at, eff_size,
+                      jnp.asarray(qp), jnp.asarray(insert_pos))
+
+        # query-before-insert sees the same rows as the split path's
+        # insert-then-query with exclude_last=context_window: the new
+        # row is always inside the exclusion window
+        aux = ret.fused_dispatch(
+            dispatch, insert=True,
+            exclude_last=retrieval.context_window - 1 if do_query else 0)
+        if do_query:
+            desc_d, emb_d, idx_d, dist_d = aux
+            desc, emb, idx, dist = jax.device_get(
+                (desc_d, emb_d, idx_d, dist_d))
+            keep = np.isfinite(dist)
+            stage1 = (idx[keep].astype(np.int64), dist[keep])
+        else:
+            desc, emb = jax.device_get(aux)
+            stage1 = None
+        manager.set_node_features(center_node, desc)
+        core = manager.get_k_hop_neighbors(
+            center_node, max(self.k_hops - self.model.n_layers, 0))
+        for node in core:
+            manager.keyframes[node].embedding = emb[mapping[node]]
+        return desc, sorted(core), stage1
 
     def encode_update_local(self, manager, center_node: int,
                             points_padded, alpha, enc_config):

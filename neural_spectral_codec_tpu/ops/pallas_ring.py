@@ -43,7 +43,7 @@ _ROWS = 64
 
 
 def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
-                      wpad):
+                      wpad, fill_stages, runmin_stages):
     # packing base for the compaction payload: smallest power of two
     # above the max expansion displacement+1; exactness needs
     # p * base < 2^24 (guarded in ring_fold_pallas)
@@ -62,11 +62,15 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
                           axis=1, keepdims=True)
 
     # 1. circular jump-fill: holes (key < 0) adopt the nearest valid key
-    #    to the left
-    sh = 1
-    while sh < p:
-        key = jnp.where(key < 0.0, pltpu.roll(key, sh, axis=1), key)
-        sh *= 2
+    #    to the left. ``fill_stages`` may be bounded below log2(p) when
+    #    the host proved every INTERIOR hole run (one with a valid lane
+    #    after it in the same ring) is shorter than 2^fill_stages
+    #    (ring_path.ring_stage_bounds): leading holes left unfilled are
+    #    never starts and never noninc events (col > first_valid gates
+    #    both), and trailing holes only ever adopt +inf values — both
+    #    exactly as under the full fill.
+    for j in range(fill_stages):
+        key = jnp.where(key < 0.0, pltpu.roll(key, 1 << j, axis=1), key)
 
     # 2. run starts on raw keys; the first RAW-valid position is ALWAYS
     #    a start (wrap-run head pieces and circularly-constant rings);
@@ -93,14 +97,16 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
 
     # 4. segmented run-min: forward doubling on the folded key (non-
     #    decreasing along the ring → endpoint equality implies window
-    #    uniformity, no carry needed)
-    sh = 1
-    while sh < p:
+    #    uniformity, no carry needed). ``runmin_stages`` may be bounded
+    #    when the host proved every run's last FINITE member lies within
+    #    2^runmin_stages of its start — holes beyond the window carry
+    #    +inf and never affect the min.
+    for j in range(runmin_stages):
+        sh = 1 << j
         back = p - sh                       # roll left by sh
         fkey_s = pltpu.roll(fkey, back, axis=1)
         m_s = pltpu.roll(m, back, axis=1)
         m = jnp.where(fkey_s == fkey, jnp.minimum(m, m_s), m)
-        sh *= 2
 
     flagged = (startf > 0.5) & jnp.isfinite(m) & (f <= float(n_folds - 1))
     flagf = jnp.where(flagged, one, zero)
@@ -130,16 +136,25 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
                        0.0)
     n_stages_c = max((p - 1).bit_length(), 1)
     for k in range(n_stages_c):
-        # bit k of disp0 = bit k+log2(base) of packed (the d1e part is
-        # < base and can never carry into the floor: (disp0 + frac)/2^k
-        # floors to floor(disp0/2^k) for frac < 1)
-        t = jnp.floor(packed * (1.0 / (float(base) * (1 << k))))
-        bit = t - 2.0 * jnp.floor(t * 0.5)
-        mv = jnp.where((packed > 0.5) & (bit > 0.5), one, zero)
+        # bit k of disp0 via one fmod: packed mod (base·2^{k+1}) =
+        # bit_k·base·2^k + (bits<k of disp0)·base + d1e < base·2^k +
+        # base·2^k, so the test is a single ≥. Exact in f32: packed <
+        # 2^24 (guarded in ring_fold_pallas) and 1/M is a power of two.
+        # Empty slots (packed = 0) give r = 0 → never move; no separate
+        # emptiness guard needed.
         step = 1 << k
+        m_mod = float(base) * (2 << k)
+        r = packed - m_mod * jnp.floor(packed * (1.0 / m_mod))
+        moving = r >= float(base) * float(step)
+        mv = jnp.where(moving, one, zero)
         back = p - step
-        inc = (pltpu.roll(mv, back, axis=1) > 0.5) & (col < p - step)
-        moving = mv > 0.5
+        # no (col < p - step) guard: an entry moving at stage k has
+        # current lane = target + (disp0 with bits < k cleared) ≥
+        # target + 2^k ≥ step, so the circular roll can only deliver
+        # non-mover (False) flags into the tail lanes — the wrap is
+        # self-guarding (probe: the guard was ~1 op/stage on the
+        # kernel's hottest class)
+        inc = pltpu.roll(mv, back, axis=1) > 0.5
         valp = jnp.where(inc, pltpu.roll(valp, back, axis=1),
                          jnp.where(moving, zero, valp))
         packed = jnp.where(inc, pltpu.roll(packed, back, axis=1),
@@ -157,15 +172,17 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
         padz = jnp.zeros((_ROWS, wpad - p), jnp.float32)
         valw = jnp.concatenate([valp, padz], axis=1)
         d1w = jnp.concatenate([d1e, padz], axis=1)
-    colw = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, wpad), 1)
     onew = jnp.ones((_ROWS, wpad), jnp.float32)
     zerow = jnp.zeros((_ROWS, wpad), jnp.float32)
     n_stages_e = max((n_folds * n_azim - 1).bit_length(), 1)
     for k in reversed(range(n_stages_e)):
         step = 1 << k
-        mv = jnp.where(d1w >= float(step + 1), onew, zerow)
-        inc = (pltpu.roll(mv, step, axis=1) > 0.5) & (colw >= step)
-        moving = mv > 0.5
+        moving = d1w >= float(step + 1)
+        mv = jnp.where(moving, onew, zerow)
+        # no (colw >= step) guard: a mover sits at lane target − rem ≤
+        # (n_folds·n_azim − 1) − step < wpad − step, so the circular
+        # roll only wraps non-mover flags into the head lanes
+        inc = pltpu.roll(mv, step, axis=1) > 0.5
         valw = jnp.where(inc, pltpu.roll(valw, step, axis=1),
                          jnp.where(moving, zerow, valw))
         d1w = jnp.where(inc, pltpu.roll(d1w, step, axis=1) - float(step),
@@ -173,18 +190,30 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
     out_ref[:] = valw
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def ring_fold_pallas(key: jnp.ndarray, vals: jnp.ndarray,
                      n_azim: int, n_folds: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     fill_stages: int = None,
+                     runmin_stages: int = None):
     """(N, Ppad) f32 key (−1 = invalid/pad) + vals (+inf at those slots)
     → (N, wpad) dense folded rows (wpad = n_folds·n_azim rounded up to
     128; zero = empty pixel), semantically the folded image the XLA
     chain (ring_path._ring_run_starts + _densify_xla) produces. Ppad
-    must be 128-aligned; N is padded to a multiple of 8 internally."""
+    must be 128-aligned; N is padded to a multiple of 8 internally.
+
+    ``fill_stages``/``runmin_stages`` (default log2(Ppad): fully
+    general) bound the jump-fill / run-min doubling loops; callers may
+    pass smaller values ONLY under the host-verified data bounds of
+    ``ring_path.ring_stage_bounds`` — output is then bit-identical to
+    the unbounded kernel."""
     n, p = key.shape
     if p % 128:
         raise ValueError("ring_fold_pallas needs 128-aligned width")
+    full = max((p - 1).bit_length(), 1)
+    fill_stages = full if fill_stages is None else min(fill_stages, full)
+    runmin_stages = full if runmin_stages is None \
+        else min(runmin_stages, full)
     wpad = -(-(n_folds * n_azim) // 128) * 128
     if p * (1 << (n_folds * n_azim).bit_length()) >= 1 << 24:
         raise ValueError("ring_fold_pallas packed payload would exceed "
@@ -197,7 +226,9 @@ def ring_fold_pallas(key: jnp.ndarray, vals: jnp.ndarray,
         vals = jnp.concatenate(
             [vals, jnp.full((pad, p), jnp.inf, jnp.float32)])
     kernel = functools.partial(_ring_fold_kernel, p=p, n_azim=n_azim,
-                               n_folds=n_folds, wpad=wpad)
+                               n_folds=n_folds, wpad=wpad,
+                               fill_stages=fill_stages,
+                               runmin_stages=runmin_stages)
     folded = pl.pallas_call(
         kernel,
         grid=(key.shape[0] // _ROWS,),

@@ -104,7 +104,8 @@ def _ring_keys(points: jnp.ndarray, config: ProjectionConfig):
 
 
 def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
-                     n_folds: int):
+                     n_folds: int, fill_stages: int = None,
+                     runmin_stages: int = None):
     """Per-ring circular segment-min without sorting.
 
     key:  (N, P) azimuth bin (f32), -1 at invalid slots.
@@ -135,11 +136,16 @@ def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
     first_valid = jnp.min(jnp.where(key >= 0.0, colf32, float(P)),
                           axis=-1, keepdims=True)
 
-    # 1. circular jump-fill: holes adopt the nearest valid key to the left
-    sh = 1
-    while sh < P:
-        key = jnp.where(key < 0.0, jnp.roll(key, sh, axis=-1), key)
-        sh *= 2
+    full = max((P - 1).bit_length(), 1)
+    fill_stages = full if fill_stages is None else min(fill_stages, full)
+    runmin_stages = full if runmin_stages is None \
+        else min(runmin_stages, full)
+
+    # 1. circular jump-fill: holes adopt the nearest valid key to the
+    #    left (``fill_stages`` may be host-bounded — see
+    #    ring_stage_bounds and the kernel-side proof in pallas_ring)
+    for j in range(fill_stages):
+        key = jnp.where(key < 0.0, jnp.roll(key, 1 << j, axis=-1), key)
 
     # 2. run starts on RAW keys (positions where the key changes).
     #    The FIRST RAW-VALID position is ALWAYS a start: a wrap-around
@@ -178,14 +184,14 @@ def _ring_run_starts(key: jnp.ndarray, vals: jnp.ndarray, n_azim: int,
     fkey = key + float(n_azim) * f
 
     # 4. segmented run-min (forward doubling on the folded key; no
-    #    uniformity carry needed — see docstring)
+    #    uniformity carry needed — see docstring; ``runmin_stages`` may
+    #    be host-bounded, see ring_stage_bounds)
     m = vals
-    sh = 1
-    while sh < P:
+    for j in range(runmin_stages):
+        sh = 1 << j
         fkey_s = jnp.roll(fkey, -sh, axis=-1)
         m_s = jnp.roll(m, -sh, axis=-1)
         m = jnp.where(fkey_s == fkey, jnp.minimum(m, m_s), m)
-        sh *= 2
 
     start = start & jnp.isfinite(m)
     # overflowing folds (contract violation beyond n_folds-1) are DROPPED,
@@ -204,16 +210,23 @@ def _fold_min(img_folded: jnp.ndarray, n_folds: int,
     return jnp.where(jnp.isinf(x), 0.0, x)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
                         row_of_ring: Tuple[int, ...],
-                        n_folds: int = 2) -> jnp.ndarray:
+                        n_folds: int = 2,
+                        stage_bounds: Optional[Tuple[int, int]] = None
+                        ) -> jnp.ndarray:
     """(B, R, P, 3|4) ring-structured clouds → (B, n_elev, n_azim) range
     images, bit-identical to ``project_points_batch`` on the flattened
     points for inputs satisfying C1-C3 (module docstring).
 
     ``row_of_ring`` must be a strictly-increasing tuple of image rows
-    (C3); rows without a ring stay empty."""
+    (C3); rows without a ring stay empty.
+
+    ``stage_bounds=(fill_stages, runmin_stages)`` bounds the jump-fill /
+    run-min doubling depth; pass only values certified for this input by
+    :func:`ring_stage_bounds` (output stays bit-identical). ``None`` =
+    fully general log2(P) depth."""
     rows = tuple(int(v) for v in row_of_ring)
     if list(rows) != sorted(set(rows)):
         raise ValueError("row_of_ring must be strictly increasing (C3); "
@@ -236,6 +249,7 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
                        constant_values=jnp.inf)
     width = n_folds * config.n_azimuth
 
+    fill_st, runmin_st = stage_bounds if stage_bounds else (None, None)
     if jax.default_backend() == "tpu":
         # ONE fused VMEM kernel per 8 rings: stage chain + in-VMEM
         # per-ring compaction + expansion into the folded rows — no
@@ -244,7 +258,7 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
             ring_fold_pallas)
         folded = ring_fold_pallas(
             key.reshape(b * R, ppad), vals.reshape(b * R, ppad),
-            config.n_azimuth, n_folds)
+            config.n_azimuth, n_folds, False, fill_st, runmin_st)
         folded = folded[:, :width].reshape(b, R, width)
     else:
         # XLA fallback (CPU tests): the flattened (ring-major) start
@@ -252,7 +266,8 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
         # _densify_xla's precondition
         col_f, m = _ring_run_starts(key.reshape(b * R, ppad),
                                     vals.reshape(b * R, ppad),
-                                    config.n_azimuth, n_folds)
+                                    config.n_azimuth, n_folds,
+                                    fill_st, runmin_st)
         col_f = col_f.reshape(b, R, ppad)
         m = m.reshape(b, R, ppad)
         ring_base = (jnp.arange(R, dtype=jnp.float32)
@@ -279,20 +294,24 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
     return jnp.take(padded, jnp.asarray(inv), axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def encode_points_ring_batch(points: jnp.ndarray, alpha: jnp.ndarray,
                              config, row_of_ring: Tuple[int, ...],
-                             n_folds: int = 2) -> jnp.ndarray:
+                             n_folds: int = 2,
+                             stage_bounds: Optional[Tuple[int, int]] = None
+                             ) -> jnp.ndarray:
     """Ring-structured variant of ``ops.spectral.encode_points_batch``:
     (B, R, P, 3|4) → (B, output_dim) descriptors, identical output for
-    contract-satisfying inputs, without the general path's global sort."""
+    contract-satisfying inputs, without the general path's global sort.
+    ``stage_bounds`` as in :func:`project_rings_batch` (host-certified
+    via :func:`ring_stage_bounds`)."""
     from neural_spectral_codec_tpu.ops.range_image import (
         interpolate_range_image)
     from neural_spectral_codec_tpu.ops.spectral import (
         encode_range_image_batch)
 
     imgs = project_rings_batch(points, config.projection, row_of_ring,
-                               n_folds)
+                               n_folds, stage_bounds)
     use_pallas = config.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -373,6 +392,94 @@ def ring_structure_report(points: np.ndarray, config: ProjectionConfig,
         "rows_strictly_increasing": bool(np.all(np.diff(rows) > 0)),
         "max_folds_needed": max_folds,
     }
+
+
+_STAGE_LADDER = (2, 4, 6, 8)
+
+
+def ring_stage_bounds(points: np.ndarray, config: ProjectionConfig,
+                      ppad: Optional[int] = None
+                      ) -> Optional[Tuple[int, int]]:
+    """Host-side certification of bounded doubling depths for this input:
+    returns ``(fill_stages, runmin_stages)`` such that the bounded kernel
+    is bit-identical to the fully-general one on these points, or None
+    when no bound below log2(P) can be certified.
+
+    Exactness conditions (proofs at the kernel loops, pallas_ring.py):
+      * jump-fill reach 2^K−1 must cover every INTERIOR invalid run — a
+        maximal run of invalid lanes with a valid lane after it in the
+        same ring (leading runs are never starts/noninc events; trailing
+        runs, including the 128-alignment pad, only ever carry +inf);
+      * the run-min window 2^J must cover, for every run (maximal
+        equal-key block of the filled sequence), the distance from its
+        start to its last VALID lane (holes beyond carry +inf and cannot
+        change a min).
+    Bounds are rounded up to a small ladder so a stream compiles a
+    handful of kernel variants, not one per scan.
+    """
+    pts = np.asarray(points)
+    if pts.ndim == 3:
+        pts = pts[None]
+    b, R, P = pts.shape[:3]
+    ppad = ppad or -(-P // 128) * 128
+    full = max((ppad - 1).bit_length(), 1)
+
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    finite = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
+    xs = np.where(finite, x, 1.0)
+    ys = np.where(finite, y, 0.0)
+    zs = np.where(finite, z, 0.0)
+    rng = np.sqrt(np.clip(xs * xs, 0, 1e10) + np.clip(ys * ys, 0, 1e10)
+                  + np.clip(zs * zs, 0, 1e10))
+    valid = finite & (rng >= config.min_range) & (rng <= config.max_range)
+    elev = np.arctan2(zs, np.sqrt(np.clip(xs * xs, 0, 1e10)
+                                  + np.clip(ys * ys, 0, 1e10)))
+    valid = _elev_gate_np(valid, elev, config)
+    az = np.mod(np.arctan2(ys, xs) + np.pi, 2 * np.pi)
+    azb = np.clip(np.floor(az / (2 * np.pi) * config.n_azimuth), 0,
+                  config.n_azimuth - 1).astype(np.int64)
+
+    max_hole = 0
+    max_extent = 1
+    for bi in range(b):
+        for r in range(R):
+            v = valid[bi, r]
+            if not v.any():
+                continue
+            pos = np.flatnonzero(v)
+            # interior hole runs = gaps between consecutive valid lanes
+            if len(pos) > 1:
+                gaps = np.diff(pos) - 1
+                if len(gaps):
+                    max_hole = max(max_hole, int(gaps.max()))
+            # filled key sequence over the valid span; block starts where
+            # the key changes; extent = distance from block start to the
+            # block's last valid lane
+            keys = azb[bi, r]
+            fill_idx = np.maximum.accumulate(
+                np.where(v, np.arange(P), -1))
+            span = fill_idx >= 0          # at/after first_valid
+            fk = keys[np.maximum(fill_idx, 0)]
+            change = np.ones(P, bool)
+            change[1:] = fk[1:] != fk[:-1]
+            change[pos[0]] = True        # first_valid always starts a block
+            block_id = np.cumsum(change & span) - 1
+            # last valid lane per block, block start per block
+            starts = np.flatnonzero(change & span)
+            vb = block_id[v & span]
+            last_valid = np.full(len(starts), -1, np.int64)
+            np.maximum.at(last_valid, vb, np.flatnonzero(v & span))
+            ext = last_valid - starts + 1
+            if len(ext):
+                max_extent = max(max_extent, int(ext.max()))
+
+    fill_req = max(max_hole, 0).bit_length()          # reach 2^K−1 ≥ hole
+    runmin_req = max((max_extent - 1).bit_length(), 1)  # window 2^J ≥ ext
+    fill_st = next((k for k in _STAGE_LADDER if k >= fill_req), full)
+    runmin_st = next((k for k in _STAGE_LADDER if k >= runmin_req), full)
+    if fill_st >= full and runmin_st >= full:
+        return None
+    return (min(fill_st, full), min(runmin_st, full))
 
 
 def points_to_rings(points: np.ndarray, ring_ids: np.ndarray,
@@ -545,10 +652,11 @@ def prepare_structured(points: np.ndarray, ring_ids: np.ndarray, config,
     if not ok:
         return None
     pp = -(-rings.shape[1] // 128) * 128
+    bounds = ring_stage_bounds(rings, proj, ppad=pp)
     if pp != rings.shape[1]:
         rings = np.pad(rings, ((0, 0), (0, pp - rings.shape[1]),
                                (0, 0)), constant_values=np.nan)
-    return rings, tuple(int(r) for r in rows)
+    return rings, tuple(int(r) for r in rows), bounds
 
 
 def encode_structured(points: np.ndarray, ring_ids: np.ndarray, alpha,
@@ -565,10 +673,10 @@ def encode_structured(points: np.ndarray, ring_ids: np.ndarray, alpha,
 
     prep = prepare_structured(points, ring_ids, config, per_ring=per_ring)
     if prep is not None:
-        rings, rows = prep
+        rings, rows, bounds = prep
         return np.asarray(encode_points_ring_batch(
             jnp.asarray(rings[None]), jnp.float32(alpha), config,
-            rows))[0]
+            rows, 2, bounds))[0]
     return np.asarray(encode_points_batch(
         jnp.asarray(pad_points(np.asarray(points), 1 << int(np.ceil(
             np.log2(max(len(points), 64)))))[None]),

@@ -173,12 +173,13 @@ class RingMajorBatchEncoder(BatchEncoder):
         fallback: List[int] = []
 
         def flush(key, items):
-            rows, shape = key
+            rows, shape, bounds = key
             batch = np.full((self.RING_B,) + shape, np.nan, np.float32)
             for j, (_, rings) in enumerate(items):
                 batch[j] = rings
             d = np.asarray(encode_points_ring_batch(
-                jnp.asarray(batch), self.alpha, self.config, rows))
+                jnp.asarray(batch), self.alpha, self.config, rows, 2,
+                bounds))
             for j, (i, _) in enumerate(items):
                 out[i] = d[j]
 
@@ -194,8 +195,12 @@ class RingMajorBatchEncoder(BatchEncoder):
             if prep is None:
                 fallback.append(i)
                 continue
-            rings, rows = prep
-            key = (rows, rings.shape)
+            rings, rows, bounds = prep
+            # bounds join the group key: each certified (fill, runmin)
+            # pair is its own compiled kernel variant (the stage ladder
+            # in ring_stage_bounds keeps the variant count small); the
+            # NaN batch filler rows are all-hole and bound-neutral
+            key = (rows, rings.shape, bounds)
             pending.setdefault(key, []).append((i, rings))
             if len(pending[key]) == self.RING_B:
                 flush(key, pending.pop(key))
@@ -218,9 +223,10 @@ class RingMajorBatchEncoder(BatchEncoder):
             # exact general path, through the same B=1 executable the
             # base online loop uses
             return super().encode_one(cloud)
-        rings, rows = prep
+        rings, rows, bounds = prep
         return np.asarray(encode_points_ring_batch(
-            jnp.asarray(rings[None]), self.alpha, self.config, rows))[0]
+            jnp.asarray(rings[None]), self.alpha, self.config, rows, 2,
+            bounds))[0]
 
 
 class NeuralSpectralCodecPipeline:
@@ -583,8 +589,54 @@ class NeuralSpectralCodecPipeline:
         dummy_pts = pad_points(np.zeros((0, 4), np.float32),
                                self.encoder.max_points)
 
+        # one-dispatch serving (deployment.fused_query): the hot path
+        # runs _jitted_serving_step, so the replay must warm THAT
+        # executable at every padded bucket the session shape hits. The
+        # scratch executions write the NEXT FREE database row
+        # (insert_at = database_size, which can_fuse_serving guarantees
+        # exists) without bumping the size — rows past database_size are
+        # invisible to queries and the next real insert overwrites them,
+        # so warmup stays side-effect-free while populating the actual
+        # jit dispatch cache (an AOT .lower().compile() would not).
+        one_dispatch = fused and cfg_get(
+            self.config, "deployment.fused_query", True) \
+            and self.retrieval.can_fuse_serving()
+        warmed_buckets = set()
+
+        def _warm_serve(pg, center):
+            import jax.numpy as jnp
+            from neural_spectral_codec_tpu.models.gnn import (
+                _jitted_serving_step)
+            ret = self.retrieval.retriever
+            for do_q in (False, True):
+                fn = _jitted_serving_step(
+                    self.model, self.encoder_config,
+                    int(min(self.retrieval.top_k, ret.capacity)),
+                    ret.metric, ret.storage, ret.epsilon, do_q, True)
+
+                def _dispatch(db_rows, db_pos, insert_at, eff_size,
+                              fn=fn):
+                    return fn(db_rows, db_pos, jnp.asarray(dummy_pts),
+                              self.encoder.alpha, self.params,
+                              self.batch_stats,
+                              jnp.asarray(pg.features),
+                              jnp.asarray(pg.neighbors),
+                              jnp.asarray(pg.mask),
+                              jnp.asarray(pg.edge_feats),
+                              jnp.int32(center), insert_at, eff_size,
+                              jnp.zeros(4, jnp.float32),
+                              jnp.zeros(3, jnp.float32))
+
+                ret.fused_dispatch(_dispatch, insert=False)
+            warmed_buckets.add(pg.n_nodes)
+
         def _refresh(node):
-            if fused:
+            if one_dispatch:
+                s, m = mgr.get_local_subgraph(node, self.local_update_hops)
+                pg = local._padded(s)
+                if pg.n_nodes not in warmed_buckets:
+                    _warm_serve(pg, m[node])
+            elif fused:
                 local.encode_update_local(mgr, node, dummy_pts,
                                           self.encoder.alpha,
                                           self.encoder_config)
@@ -611,7 +663,9 @@ class NeuralSpectralCodecPipeline:
         n = max(sub.n_nodes, 8)
         bucket_up = 1 << ((n - 1).bit_length() + 1)
         padded = pad_graph(sub, bucket_up)
-        if fused:
+        if one_dispatch:
+            _warm_serve(padded, mapping[node])
+        elif fused:
             from neural_spectral_codec_tpu.models.gnn import (
                 _jitted_fused_encode_apply)
             import jax.numpy as jnp
@@ -765,6 +819,15 @@ class NeuralSpectralCodecPipeline:
         # for each); only meaningful with local updates enabled
         fused = (not self.ablate_gnn) and self.use_local_updates and cfg_get(
             self.config, "deployment.fused_encode", True)
+        # one-dispatch serving (deployment.fused_query, default on): the
+        # SAME executable additionally inserts the stage-1 database row
+        # and, on loop-closing keyframes, runs the stage-1 top-k query —
+        # the whole per-keyframe device workload in one dispatch + one
+        # fetch; with async loop closing the background worker then does
+        # ONLY geometric verification (stage 1 already happened on the
+        # hot path's dispatch, against the identical database snapshot)
+        one_dispatch = fused and cfg_get(
+            self.config, "deployment.fused_query", True)
         placeholder = np.zeros(self.encoder_config.output_dim, np.float32)
 
         # native read-ahead for offline stream replay (same gating as
@@ -780,7 +843,25 @@ class NeuralSpectralCodecPipeline:
                         frame["timestamp"])
                 if not selected:
                     continue
-                if fused:
+                will_query = (len(self.selector.keyframes)
+                              % loop_closure_interval == 0)
+                stage1 = None
+                fused_inserted = False
+                if one_dispatch and self.retrieval.can_fuse_serving():
+                    with self.profiler.profile("serve_step"):
+                        kf.descriptor = placeholder
+                        node = self.graph_manager.add_keyframe(kf)
+                        pos = (kf.pose[:3, 3] if kf.pose is not None
+                               else None)
+                        desc, refreshed_nodes, stage1 = local_gnn.serve_step(
+                            self.graph_manager, node,
+                            pad_points(kf.points, self.encoder.max_points),
+                            self.encoder.alpha, self.encoder_config,
+                            self.retrieval, will_query,
+                            query_pose_position=pos)
+                        kf.descriptor = desc
+                        fused_inserted = True
+                elif fused:
                     with self.profiler.profile("encode_graph_update"):
                         kf.descriptor = placeholder
                         node = self.graph_manager.add_keyframe(kf)
@@ -818,7 +899,11 @@ class NeuralSpectralCodecPipeline:
                         db_persisted = self.retrieval.append_database(
                             database_path, db_persisted)
                 with self.profiler.profile("retrieval_add"):
-                    self.retrieval.add_keyframe(kf)
+                    if fused_inserted:
+                        # row already inserted on device by serve_step
+                        self.retrieval.register_fused_insert(kf)
+                    else:
+                        self.retrieval.add_keyframe(kf)
                     if self.use_embeddings_for_retrieval and refreshed_nodes:
                         # keep already-inserted rows in sync with the GNN's
                         # refreshed embeddings (db row == keyframe_id: the
@@ -827,8 +912,38 @@ class NeuralSpectralCodecPipeline:
                             self.graph_manager.keyframes[i].keyframe_id
                             for i in refreshed_nodes])
 
-                if len(self.selector.keyframes) % loop_closure_interval == 0:
-                    if executor is not None:
+                if will_query:
+                    if stage1 is not None:
+                        # stage 1 already ran inside the serving dispatch
+                        # (same snapshot as the split insert-then-query);
+                        # only GICP verification remains
+                        cands = self.retrieval.candidates_from_stage1(
+                            *stage1)
+                        if executor is not None:
+                            with self.profiler.profile(
+                                    "loop_closing_submit"):
+                                pending.append((
+                                    kf.keyframe_id, executor.submit(
+                                        self.retrieval
+                                        .loop_closures_from_candidates,
+                                        kf, cands, kf.points)))
+                                n_queries += 1
+                        else:
+                            with self.profiler.profile("loop_closing"):
+                                t0 = time.perf_counter()
+                                edges = (self.retrieval
+                                         .loop_closures_from_candidates(
+                                             kf, cands, kf.points))
+                                n_queries += 1
+                                query_ms = 1e3 * (time.perf_counter() - t0)
+                                if (max_latency_ms
+                                        and query_ms > max_latency_ms):
+                                    logger.warning(
+                                        "scan %d: loop-closing latency "
+                                        "%.1f ms exceeds budget %.0f ms",
+                                        scan_id, query_ms, max_latency_ms)
+                                _apply_edges(kf.keyframe_id, edges)
+                    elif executor is not None:
                         with self.profiler.profile("loop_closing_submit"):
                             # snapshot the db size so the background query sees
                             # the submit-time database and temporal-exclusion
@@ -875,7 +990,8 @@ class NeuralSpectralCodecPipeline:
                         " | ".join(
                             f"{k} {1e3 * tot[k] / max(cnt[k], 1):.2f} ms/call"
                             for k in ("select", "encode", "graph_update",
-                                      "encode_graph_update", "db_autosave",
+                                      "encode_graph_update", "serve_step",
+                                      "db_autosave",
                                       "loop_closing", "loop_closing_submit")
                             if k in tot),
                         self.retrieval.retriever.database_size, mem)

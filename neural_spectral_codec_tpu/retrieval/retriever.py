@@ -136,13 +136,12 @@ def _query_batch_kernel(db_rows, db_pos, size, queries, query_pos_and_filters,
     return jnp.minimum(top_idx, n - 1), top_dist
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6), static_argnames=("epsilon",))
-def _query_kernel(db_rows, db_pos, size, query, query_pos_and_filter, top_k,
-                  metric="wasserstein", epsilon=1e-8):
-    """Fused encode + distance + masking + top-k, one dispatch.
-    ``query_pos_and_filter`` is a (4,) vector [x, y, z,
-    min_spatial_distance]; min_spatial_distance ≤ 0 disables the spatial
-    filter."""
+def _query_math(db_rows, db_pos, size, query, query_pos_and_filter, top_k,
+                metric="wasserstein", epsilon=1e-8):
+    """Traceable body of the fused single query (distance + masking +
+    top-k) — shared by the standalone ``_query_kernel`` executable and
+    the one-dispatch serving step (models/gnn._jitted_serving_step),
+    so both paths rank with identical math."""
     n = db_rows.shape[0]
     db_rows = _dequant_rows(db_rows)
     if metric == "wasserstein":
@@ -158,6 +157,28 @@ def _query_kernel(db_rows, db_pos, size, query, query_pos_and_filter, top_k,
     masked = jnp.where(invalid | ((min_d > 0) & spatial), jnp.inf, dists)
     top_dist, top_idx = _topk_smallest(masked, top_k)
     return jnp.minimum(top_idx, n - 1), top_dist
+
+
+def _encode_rows_math(vectors, metric, storage, epsilon):
+    """Traceable row encoding (histogram → stored CDF row), shared by
+    host-side inserts and the one-dispatch serving step."""
+    if metric == "wasserstein":
+        cdf = histogram_cdf(vectors, epsilon)
+        if storage == "uint16":
+            return _quantize_cdf(cdf)
+        return cdf
+    return vectors
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6), static_argnames=("epsilon",))
+def _query_kernel(db_rows, db_pos, size, query, query_pos_and_filter, top_k,
+                  metric="wasserstein", epsilon=1e-8):
+    """Fused encode + distance + masking + top-k, one dispatch.
+    ``query_pos_and_filter`` is a (4,) vector [x, y, z,
+    min_spatial_distance]; min_spatial_distance ≤ 0 disables the spatial
+    filter."""
+    return _query_math(db_rows, db_pos, size, query, query_pos_and_filter,
+                       top_k, metric, epsilon)
 
 
 class WassersteinRetriever:
@@ -212,12 +233,42 @@ class WassersteinRetriever:
         self._buffer_lock = threading.Lock()
 
     def _encode_rows(self, vectors: jnp.ndarray) -> jnp.ndarray:
-        if self.metric == "wasserstein":
-            cdf = histogram_cdf(vectors, self.epsilon)
-            if self.storage == "uint16":
-                return _quantize_cdf(cdf)
-            return cdf
-        return vectors
+        return _encode_rows_math(vectors, self.metric, self.storage,
+                                 self.epsilon)
+
+    def fused_dispatch(self, dispatch, insert: bool = True,
+                       exclude_last: int = 0):
+        """Run a ONE-dispatch serving step that owns the database buffers
+        for its duration (the one-RTT online path: encode + GNN + stage-1
+        query + row insert in a single executable, models/gnn.py).
+
+        ``dispatch(db_rows, db_pos, insert_at, eff_size)`` must return
+        ``(new_db_rows, new_db_pos, *aux)`` where the new buffers come
+        from a jitted call that DONATES the two buffer arguments (so XLA
+        updates them in place). Runs under the buffer lock (same donation
+        window as :meth:`add_to_database`); commits the returned buffers;
+        bumps ``database_size`` when ``insert``. ``exclude_last`` rows
+        (counting back from the current size) are excluded from the
+        query's effective size. Returns the aux tuple."""
+        with self._buffer_lock:
+            if insert and self.database_size >= self.capacity:
+                raise ValueError("Database capacity exceeded: "
+                                 f"{self.database_size}+1 > {self.capacity}")
+            # non-inserting callers (warmup) still execute the step's
+            # scratch write into the next free row; at a full database
+            # there is no free row, so refuse rather than clobber
+            if not insert and self.database_size >= self.capacity:
+                raise ValueError(
+                    "fused_dispatch(insert=False) needs a free scratch "
+                    "row; database is at capacity")
+            insert_at = self.database_size
+            eff = max(self.database_size - max(exclude_last, 0), 0)
+            out = dispatch(self._db_cdf, self._db_pos,
+                           jnp.int32(insert_at), jnp.int32(eff))
+            self._db_cdf, self._db_pos = out[0], out[1]
+            if insert:
+                self.database_size += 1
+            return out[2:]
 
     def add_to_database(self, histograms: np.ndarray,
                         positions: Optional[np.ndarray] = None) -> None:

@@ -131,6 +131,62 @@ class TwoStageRetrieval:
             self._stage1_vector(keyframe).reshape(1, -1), pos.reshape(1, 3))
         return True
 
+    def can_fuse_serving(self) -> bool:
+        """Whether the one-dispatch serving step may drive this instance:
+        a single-device WassersteinRetriever with room for the insert
+        (the sharded retriever keeps its own insert/query dispatch
+        discipline)."""
+        return (type(self.retriever) is WassersteinRetriever
+                and self.retriever.database_size < self.retriever.capacity)
+
+    def register_fused_insert(self, keyframe: Keyframe) -> None:
+        """Track a keyframe whose database row was ALREADY inserted on
+        device by the one-dispatch serving step
+        (models/gnn.LocalUpdateGNN.serve_step) — the bookkeeping half of
+        :meth:`add_keyframe` without the insert."""
+        if keyframe.descriptor is None:
+            raise ValueError("Keyframe must have descriptor")
+        self.keyframes.append(keyframe)
+
+    def candidates_from_stage1(self, idx, dist) -> List[LoopClosureCandidate]:
+        """Wrap precomputed stage-1 results (e.g. from the one-dispatch
+        serving step, which ranks with the same `_query_math` as
+        :meth:`query`) as candidates."""
+        return [LoopClosureCandidate(int(i), float(d))
+                for i, d in zip(idx, dist)]
+
+    def loop_closures_from_candidates(self, query_keyframe: Keyframe,
+                                      candidates: List[LoopClosureCandidate],
+                                      query_points: Optional[np.ndarray] = None
+                                      ) -> List[Dict]:
+        """Stage 2 + g2o edge assembly for externally supplied stage-1
+        candidates — :meth:`get_loop_closures` minus the stage-1 query."""
+        if not candidates:
+            return []
+        pts = query_points if query_points is not None \
+            else query_keyframe.points
+        candidates = self._geometric_verification(pts, candidates)
+        out = []
+        for cand in candidates:
+            if not cand.verified:
+                continue
+            kf = self.keyframes[cand.database_idx]
+            edge = compute_pose_graph_edge(
+                source_pose=query_keyframe.pose,
+                target_pose=kf.pose,
+                relative_transform=cand.transform,
+                information_matrix=cand.information_matrix,
+            )
+            edge.update({
+                "source_id": query_keyframe.keyframe_id,
+                "target_id": kf.keyframe_id,
+                "fitness": cand.fitness,
+                "rmse": cand.rmse,
+                "wasserstein_distance": cand.distance,
+            })
+            out.append(edge)
+        return out
+
     def refresh_keyframes(self, database_indices) -> None:
         """Re-encode already-inserted rows from their keyframes' CURRENT
         stage-1 vectors (used after GNN local updates refresh embeddings)."""
@@ -235,27 +291,9 @@ class TwoStageRetrieval:
                           query_points: Optional[np.ndarray] = None,
                           as_of_size: Optional[int] = None) -> List[Dict]:
         """Verified loop closures as g2o edge dicts (reference :244-290)."""
-        out = []
-        for cand in self.query(query_keyframe, query_points, verify=True,
-                               as_of_size=as_of_size):
-            if not cand.verified:
-                continue
-            kf = self.keyframes[cand.database_idx]
-            edge = compute_pose_graph_edge(
-                source_pose=query_keyframe.pose,
-                target_pose=kf.pose,
-                relative_transform=cand.transform,
-                information_matrix=cand.information_matrix,
-            )
-            edge.update({
-                "source_id": query_keyframe.keyframe_id,
-                "target_id": kf.keyframe_id,
-                "fitness": cand.fitness,
-                "rmse": cand.rmse,
-                "wasserstein_distance": cand.distance,
-            })
-            out.append(edge)
-        return out
+        candidates = self._global_retrieval(query_keyframe, as_of_size)
+        return self.loop_closures_from_candidates(
+            query_keyframe, candidates, query_points)
 
     def clear_database(self) -> None:
         self.keyframes.clear()

@@ -132,10 +132,15 @@ class GNNTrainer:
         self._divisor = 1
         if mesh is not None:
             from neural_spectral_codec_tpu.parallel.train import (
-                make_sharded_train_step)
+                make_sharded_eval_step, make_sharded_train_step)
             self._sharded_step = make_sharded_train_step(
                 self.model, self.optimizer, mesh, shard_nodes=shard_nodes,
                 normalize=self.normalize_embeddings)
+            # mesh-aware offline validation/embedding pass (VERDICT r4
+            # #8): node-sharded full-graph eval forward; recall chunks
+            # shard their query axis in validate()
+            self._sharded_eval = make_sharded_eval_step(
+                self.model, mesh, shard_nodes=shard_nodes)
             self._divisor = int(np.prod(list(mesh.shape.values())))
             if shard_nodes:
                 logger.info("SPMD training over %d devices (nodes sharded)",
@@ -236,9 +241,24 @@ class GNNTrainer:
     # ------------------------------------------------------------------
 
     def embed(self, graph: KeyframeGraph) -> np.ndarray:
-        from neural_spectral_codec_tpu.models.gnn import gnn_forward
-        emb = np.asarray(gnn_forward(self.model, self.params,
-                                     self.batch_stats, graph))
+        if self.mesh is not None:
+            # node-sharded eval forward: pad the node axis to the mesh
+            # size with isolated nodes (self-loop-only attention, exact
+            # for real nodes in eval mode), run the SPMD executable,
+            # slice the padding back off
+            from neural_spectral_codec_tpu.keyframe.graph import pad_graph
+            import jax.numpy as jnp
+            n = graph.n_nodes
+            target = -(-n // self._divisor) * self._divisor
+            g = pad_graph(graph, target)
+            emb = np.asarray(self._sharded_eval(
+                self.params, self.batch_stats,
+                jnp.asarray(g.features), jnp.asarray(g.neighbors),
+                jnp.asarray(g.mask), jnp.asarray(g.edge_feats)))[:n]
+        else:
+            from neural_spectral_codec_tpu.models.gnn import gnn_forward
+            emb = np.asarray(gnn_forward(self.model, self.params,
+                                         self.batch_stats, graph))
         if self.normalize_embeddings:
             emb = emb / np.maximum(
                 np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
@@ -255,7 +275,8 @@ class GNNTrainer:
             ks = (1,) + ks
         for k in sorted(ks):
             r, nq = recall_loop_closure(emb, val_poses, k,
-                                        distance_threshold, skip_frames)
+                                        distance_threshold, skip_frames,
+                                        mesh=self.mesh)
             metrics[f"recall@{k}"] = r
             metrics["n_queries"] = nq
         logger.info("Validation | %s | Q=%d",

@@ -61,9 +61,8 @@ def find_revisit_queries(positions: np.ndarray, distance_threshold: float = 5.0,
             else np.zeros((0, 2), np.int64))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "skip_frames"))
-def _recall_kernel(embeddings, positions, queries, k: int,
-                   distance_threshold: float, skip_frames: int):
+def _recall_math(embeddings, positions, queries, k: int,
+                 distance_threshold: float, skip_frames: int):
     n = embeddings.shape[0]
     q = queries[:, 0]
     qe = embeddings[q]                           # (Q, D)
@@ -84,34 +83,76 @@ def _recall_kernel(embeddings, positions, queries, k: int,
     return jnp.mean(hits.astype(jnp.float32))
 
 
+_recall_kernel = functools.partial(jax.jit,
+                                   static_argnames=("k", "skip_frames"))(
+    _recall_math)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_recall_kernel(mesh, k: int, skip_frames: int):
+    """SPMD variant of ``_recall_kernel``: the query axis is sharded over
+    the mesh's ``data`` axis (each device ranks its query rows against
+    the replicated embedding matrix — the distance matmul partitions by
+    rows, the final mean is a tiny psum inserted by the partitioner)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data", None))
+
+    @functools.partial(jax.jit,
+                       in_shardings=(repl, repl, dp, None),
+                       out_shardings=repl)
+    def kern(embeddings, positions, queries, thr):
+        return _recall_math(embeddings, positions, queries, k, thr,
+                            skip_frames)
+    return kern
+
+
 def recall_loop_closure(embeddings: np.ndarray, poses: np.ndarray, k: int = 1,
                         distance_threshold: float = 5.0,
                         skip_frames: int = 30,
-                        query_chunk: int = 4096) -> Tuple[float, int]:
+                        query_chunk: int = 4096,
+                        mesh=None) -> Tuple[float, int]:
     """Recall@K over revisit queries; returns (recall, n_queries).
 
     Queries are processed in fixed-size chunks so the (Q, n) distance
     matrix never exceeds ~chunk·n floats — at 100k keyframes the
     unchunked matrix would be tens of GB (the blockwise pass SURVEY §5.7
-    calls the one place a ring-style schedule buys anything here)."""
+    calls the one place a ring-style schedule buys anything here).
+
+    ``mesh``: a ``jax.sharding.Mesh`` shards each chunk's query axis
+    over the ``data`` axis (embeddings replicated) — the offline
+    validation analog of the sharded train step. Chunks are padded to
+    the mesh size with repeat-queries whose contribution is subtracted
+    exactly, so the result equals the single-device pass."""
     positions = poses[:, :3, 3].astype(np.float32)
     queries = find_revisit_queries(positions, distance_threshold, skip_frames)
     nq = len(queries)
     if nq == 0:
         return 0.0, 0
+    divisor = 1
+    if mesh is not None:
+        divisor = int(np.prod(list(mesh.shape.values())))
+        kern = _sharded_recall_kernel(mesh, k, skip_frames)
     emb = jnp.asarray(embeddings, jnp.float32)
     pos = jnp.asarray(positions)
     hits = 0.0
     for s in range(0, nq, query_chunk):
         chunk = queries[s:s + query_chunk]
         pad = 0
-        if len(chunk) < query_chunk and nq > query_chunk:
+        target = (query_chunk if nq > query_chunk
+                  else -(-len(chunk) // divisor) * divisor)
+        if len(chunk) < target:
             # pad to the fixed chunk shape so one executable serves all
-            pad = query_chunk - len(chunk)
+            # (and, under a mesh, so the shard divides evenly)
+            pad = target - len(chunk)
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        r = _recall_kernel(emb, pos, jnp.asarray(chunk, jnp.int32),
-                           k, distance_threshold, skip_frames)
-        # _recall_kernel returns the mean over its chunk; de-duplicate pad
+        if mesh is not None:
+            r = kern(emb, pos, jnp.asarray(chunk, jnp.int32),
+                     jnp.float32(distance_threshold))
+        else:
+            r = _recall_kernel(emb, pos, jnp.asarray(chunk, jnp.int32),
+                               k, distance_threshold, skip_frames)
+        # the kernel returns the mean over its chunk; de-duplicate pad
         total = float(r) * len(chunk)
         if pad:
             rlast = _recall_kernel(emb, pos,

@@ -437,6 +437,105 @@ def test_fused_encode_update_matches_split_path():
                                        rtol=1e-5, atol=1e-6)
 
 
+def _serving_scan(rng, i):
+    n = 600
+    az = rng.uniform(-np.pi, np.pi, n)
+    el = rng.uniform(np.deg2rad(-24.0), np.deg2rad(1.0), n)
+    r = rng.uniform(2.0, 60.0, n)
+    return np.stack([r*np.cos(el)*np.cos(az), r*np.cos(el)*np.sin(az),
+                     r*np.sin(el), np.zeros(n)], 1).astype(np.float32)
+
+
+def _run_serving_session(fused: bool, metric: str, storage: str):
+    """Drive 25 synthetic keyframes through either the one-dispatch
+    serve_step or the split encode→insert→query chain; query every 5th.
+    Returns (descriptors, embeddings, db_cdf, db_pos, stage1 results)."""
+    from neural_spectral_codec_tpu.ops.range_image import pad_points
+    from neural_spectral_codec_tpu.ops.spectral import SpectralEncoderConfig
+    from neural_spectral_codec_tpu.retrieval.two_stage import (
+        TwoStageRetrieval)
+    import jax.numpy as jnp
+
+    enc = SpectralEncoderConfig(use_pallas=False)
+    dim = enc.output_dim
+    model = SpectralGNN(input_dim=dim, hidden_dim=8, output_dim=dim,
+                        n_layers=3, edge_dim=2)
+    params, bs = init_gnn(model, jax.random.key(0))
+    rng = np.random.default_rng(3)
+    poses = loop_trajectory(25)
+    scans = [_serving_scan(rng, i) for i in range(25)]
+    max_pts = 1024
+    alpha = jnp.float32(2.0)
+    retrieval = TwoStageRetrieval(
+        top_k=3, spatial_filter_distance=0.0, context_window=5,
+        n_bins=dim, capacity=64, stage1_metric=metric,
+        stage1_storage=storage)
+    mgr = TemporalGraphManager(max_active_nodes=100, feature_dim=dim)
+    local = LocalUpdateGNN(model, params, bs, k_hops=3)
+    placeholder = np.zeros(dim, np.float32)
+    use_emb = metric == "l2"
+
+    descs, stage1s = [], []
+    for i in range(25):
+        do_query = (i + 1) % 5 == 0
+        kf = Keyframe(i, i, scans[i], poses[i], i * 1.0,
+                      descriptor=placeholder.copy())
+        node = mgr.add_keyframe(kf)
+        pos = poses[i][:3, 3]
+        if fused:
+            desc, _, stage1 = local.serve_step(
+                mgr, node, pad_points(scans[i], max_pts), alpha, enc,
+                retrieval, do_query, query_pose_position=pos)
+            kf.descriptor = desc
+            retrieval.register_fused_insert(kf)
+        else:
+            desc, _ = local.encode_update_local(
+                mgr, node, pad_points(scans[i], max_pts), alpha, enc)
+            kf.descriptor = desc
+            retrieval.add_keyframe(kf)
+            stage1 = None
+            if do_query:
+                vec = (kf.embedding if use_emb and kf.embedding is not None
+                       else kf.descriptor)
+                stage1 = retrieval.retriever.query(
+                    vec, top_k=3, query_position=pos,
+                    spatial_min_distance=0.0,
+                    exclude_last=retrieval.context_window)
+        descs.append(desc)
+        if do_query:
+            stage1s.append(stage1)
+    ret = retrieval.retriever
+    n = ret.database_size
+    return (np.stack(descs), np.asarray(ret._db_cdf[:n]),
+            np.asarray(ret._db_pos[:n]), stage1s)
+
+
+def test_serve_step_matches_split_path():
+    """ONE-dispatch serving (encode + local GNN + db insert + stage-1
+    query in a single executable) must match the split chain exactly:
+    same descriptors, same database rows/positions, and the same stage-1
+    candidates/distances as retriever.query on the equivalent snapshot
+    (query-before-insert with exclude_last=context_window−1 ==
+    insert-then-query with exclude_last=context_window)."""
+    for metric, storage in (("wasserstein", "float32"),
+                            ("wasserstein", "uint16"),
+                            ("l2", "float32")):
+        d_f, cdf_f, pos_f, s1_f = _run_serving_session(True, metric, storage)
+        d_s, cdf_s, pos_s, s1_s = _run_serving_session(False, metric, storage)
+        np.testing.assert_allclose(d_f, d_s, rtol=0, atol=0,
+                                   err_msg=f"{metric}/{storage}")
+        np.testing.assert_allclose(np.asarray(cdf_f, np.float64),
+                                   np.asarray(cdf_s, np.float64),
+                                   rtol=0, atol=0,
+                                   err_msg=f"{metric}/{storage}")
+        np.testing.assert_allclose(pos_f, pos_s, rtol=0, atol=0)
+        assert len(s1_f) == len(s1_s) == 5
+        for (if_, df_), (is_, ds_) in zip(s1_f, s1_s):
+            np.testing.assert_array_equal(if_, is_,
+                                          err_msg=f"{metric}/{storage}")
+            np.testing.assert_allclose(df_, ds_, rtol=0, atol=1e-6)
+
+
 def test_mixed_precision_forward_close_to_f32():
     """bf16 compute (training.mixed_precision) keeps params float32 and
     the output float32, within bf16 tolerance of the f32 forward."""

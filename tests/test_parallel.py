@@ -174,6 +174,54 @@ def test_sharded_eval_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_trainer_sharded_embed_and_validate_match_single_device(rng):
+    """The mesh-aware offline validation pass (trainer.embed through the
+    node-sharded eval forward — with node-axis padding — plus the
+    query-sharded recall chunks) equals the single-device pass."""
+    from neural_spectral_codec_tpu.training.trainer import GNNTrainer
+    from neural_spectral_codec_tpu.training.validation import (
+        recall_loop_closure)
+
+    # 21 nodes: NOT divisible by the 8-device mesh, so embed() must pad
+    n_nodes, dim = 21, 32
+    graph = _tiny_graph(rng, n_nodes=n_nodes, dim=dim)
+    model_kw = dict(input_dim=dim, hidden_dim=16, output_dim=dim,
+                    dropout=0.0)
+    mesh = create_mesh(8)
+    t_mesh = GNNTrainer(model=SpectralGNN(**model_kw), mesh=mesh,
+                        shard_nodes=True, seed=0,
+                        checkpoint_dir="/tmp/nsc_test_ckpt_shard")
+    t_one = GNNTrainer(model=SpectralGNN(**model_kw), seed=0,
+                       checkpoint_dir="/tmp/nsc_test_ckpt_one")
+    emb_m = t_mesh.embed(graph)
+    emb_1 = t_one.embed(graph)
+    assert emb_m.shape == (n_nodes, dim)
+    np.testing.assert_allclose(emb_m, emb_1, rtol=1e-4, atol=1e-5)
+
+    # revisit-rich poses: second half re-occupies the first half
+    period = 10
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_nodes, 1, 1))
+    ang = np.arange(n_nodes) * 2 * np.pi / period
+    poses[:, 0, 3] = 30.0 * np.cos(ang)
+    poses[:, 1, 3] = 30.0 * np.sin(ang)
+    r_m, nq_m = recall_loop_closure(emb_1, poses, k=1,
+                                    distance_threshold=1.0,
+                                    skip_frames=period - 1, mesh=mesh)
+    r_1, nq_1 = recall_loop_closure(emb_1, poses, k=1,
+                                    distance_threshold=1.0,
+                                    skip_frames=period - 1)
+    assert nq_m == nq_1 > 0
+    assert abs(r_m - r_1) < 1e-6
+
+    # validate() end to end through the mesh path
+    m = t_mesh.validate(graph, poses, distance_threshold=1.0,
+                        skip_frames=period - 1, ks=(1, 5))
+    m1 = t_one.validate(graph, poses, distance_threshold=1.0,
+                        skip_frames=period - 1, ks=(1, 5))
+    for k in ("recall@1", "recall@5", "n_queries"):
+        assert abs(m[k] - m1[k]) < 1e-6, (k, m[k], m1[k])
+
+
 def test_sharded_retriever_matches_single_device(rng):
     n, bins = 64, 50
     hists = rng.random((n, bins), dtype=np.float32)

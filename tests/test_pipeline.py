@@ -105,6 +105,62 @@ def test_pipeline_online_async_matches_sync(tmp_path):
     assert sorted(map(key, async_edges)) == sorted(map(key, sync_edges))
 
 
+def test_pipeline_one_dispatch_serving_matches_split(tmp_path):
+    """The one-dispatch serving step (encode + GNN + db insert + stage-1
+    query in one executable, deployment.fused_query) must reproduce the
+    split path's loop closures, database contents, and descriptors."""
+    opts = {"spatial_filter_distance": 0.0, "top_k": 3,
+            "icp_max_iterations": 10, "verification_max_points": 4096}
+    loader = SyntheticLoader(n_frames=100, seed=0, n_points=4096, loops=2.0)
+
+    fused_pipe = NeuralSpectralCodecPipeline(
+        small_config(tmp_path, retrieval=opts))
+    fused_edges = fused_pipe.run_online(loader, loop_closure_interval=10)
+
+    split_cfg = small_config(tmp_path, retrieval=opts)
+    split_cfg.setdefault("deployment", {})["fused_query"] = False
+    split_pipe = NeuralSpectralCodecPipeline(split_cfg)
+    split_edges = split_pipe.run_online(loader, loop_closure_interval=10)
+
+    assert len(fused_edges) > 0
+    key = lambda e: (e["source_id"], e["target_id"])
+    assert sorted(map(key, fused_edges)) == sorted(map(key, split_edges))
+
+    fr = fused_pipe.retrieval.retriever
+    sr = split_pipe.retrieval.retriever
+    assert fr.database_size == sr.database_size > 0
+    n = fr.database_size
+    np.testing.assert_allclose(np.asarray(fr._db_cdf[:n]),
+                               np.asarray(sr._db_cdf[:n]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fr._db_pos[:n]),
+                               np.asarray(sr._db_pos[:n]), atol=0)
+    for a, b in zip(fused_pipe.retrieval.keyframes,
+                    split_pipe.retrieval.keyframes):
+        np.testing.assert_allclose(a.descriptor, b.descriptor,
+                                   rtol=0, atol=1e-7)
+
+
+def test_pipeline_one_dispatch_async_matches_sync(tmp_path):
+    """One-dispatch serving under async loop closing: stage 1 runs on the
+    hot path's dispatch, only verification goes to the background — the
+    edge set must match the synchronous one-dispatch mode."""
+    opts = {"spatial_filter_distance": 0.0, "top_k": 3,
+            "icp_max_iterations": 10, "verification_max_points": 4096}
+    loader = SyntheticLoader(n_frames=100, seed=0, n_points=4096, loops=2.0)
+
+    sync_pipe = NeuralSpectralCodecPipeline(
+        small_config(tmp_path, retrieval=opts))
+    sync_edges = sync_pipe.run_online(loader, loop_closure_interval=10)
+
+    async_pipe = NeuralSpectralCodecPipeline(
+        small_config(tmp_path, retrieval=opts))
+    async_edges = async_pipe.run_online(loader, loop_closure_interval=10,
+                                        async_loop_closing=True)
+    assert len(sync_edges) > 0
+    key = lambda e: (e["source_id"], e["target_id"])
+    assert sorted(map(key, async_edges)) == sorted(map(key, sync_edges))
+
+
 def test_pipeline_online_survives_buffer_compaction(tmp_path):
     """A long online session must run the graph manager's ring buffer
     through its compaction/rebase boundary (initial capacity 64 rows) —

@@ -339,6 +339,86 @@ def test_ring_path_fuzz_hole_patterns():
         np.testing.assert_array_equal(img_ring, img_gen, err_msg=f"seed {seed}")
 
 
+def test_bounded_stage_kernel_bitexact():
+    """Host-certified bounded doubling depths (ring_stage_bounds) must be
+    bit-identical to the fully-general kernel AND to the general sorted
+    path, across adversarial hole patterns: interior bursts sized right
+    at the certification boundary, leading/trailing runs (exempt from the
+    fill bound), heavy dropout, dropped rings."""
+    from neural_spectral_codec_tpu.ops.ring_path import ring_stage_bounds
+
+    P = 192
+    for seed in range(6):
+        rng = np.random.default_rng(900 + seed)
+        pts = make_structured_ring_scans(1, 64, P, CFG, seed=seed,
+                                         dropout=0.0)
+        for ridx in range(64):
+            mode = ridx % 5
+            if mode == 0:                       # leading hole burst
+                pts[0, ridx, :rng.integers(1, 40)] = np.nan
+            elif mode == 1:                     # trailing hole burst
+                pts[0, ridx, P - rng.integers(1, 40):] = np.nan
+            elif mode == 2:                     # random dropout, heavy
+                drop = rng.random(P) < 0.3
+                pts[0, ridx, drop] = np.nan
+            elif mode == 3:                     # interior burst: forces a
+                s = rng.integers(10, P - 40)    # larger fill bound
+                pts[0, ridx, s:s + rng.integers(8, 30)] = np.nan
+        if seed == 2:
+            pts[0, 11] = np.nan                 # fully-dropped ring
+        rep = ring_structure_report(pts, CFG, ROWS)
+        assert rep["ok"] and rep["max_folds_needed"] <= 2, (seed, rep)
+        bounds = ring_stage_bounds(pts, CFG)
+        assert bounds is not None and bounds[0] < 8  # certified below full
+        img_b = np.asarray(project_rings_batch(jnp.asarray(pts), CFG,
+                                               ROWS, 2, bounds))
+        img_full = np.asarray(project_rings_batch(jnp.asarray(pts), CFG,
+                                                  ROWS))
+        img_gen = np.asarray(project_points_batch(
+            jnp.asarray(_flatten(pts)), CFG))
+        np.testing.assert_array_equal(img_b, img_full,
+                                      err_msg=f"seed {seed} {bounds}")
+        np.testing.assert_array_equal(img_b, img_gen,
+                                      err_msg=f"seed {seed} {bounds}")
+
+    # interpret-mode Pallas kernel at bounded depths on the last instance
+    from neural_spectral_codec_tpu.ops.pallas_ring import ring_fold_pallas
+    from neural_spectral_codec_tpu.ops.ring_path import (
+        _ring_keys, _ring_run_starts)
+    ppad = -(-P // 128) * 128
+    vals, key = _ring_keys(jnp.asarray(pts), CFG)
+    key = jnp.pad(key, ((0, 0), (0, 0), (0, ppad - P)),
+                  constant_values=-1.0).reshape(-1, ppad)
+    vals = jnp.pad(vals, ((0, 0), (0, 0), (0, ppad - P)),
+                   constant_values=np.inf).reshape(-1, ppad)
+    b2 = ring_stage_bounds(pts, CFG, ppad=ppad)
+    full = np.asarray(ring_fold_pallas(key, vals, CFG.n_azimuth, 2,
+                                       True))
+    got = np.asarray(ring_fold_pallas(key, vals, CFG.n_azimuth, 2, True,
+                                      b2[0], b2[1]))
+    np.testing.assert_array_equal(got, full)
+
+
+def test_stage_bounds_certifier_is_conservative():
+    """A pathological interior hole run longer than the ladder's largest
+    reach must push the certifier to the full depth for fill (never a
+    silently-too-small bound)."""
+    from neural_spectral_codec_tpu.ops.ring_path import ring_stage_bounds
+    P = 1024
+    pts = make_structured_ring_scans(1, 64, P, CFG, seed=0, dropout=0.0)
+    pts[0, 3, 100:700] = np.nan       # 600-lane interior hole
+    bounds = ring_stage_bounds(pts, CFG)
+    # reach needed 600 > 2^8-1 -> fill falls back to full depth; with
+    # both at full the certifier returns None (no bounded variant)
+    assert bounds is None or (1 << bounds[0]) - 1 >= 600
+    # a long single RUN (one azimuth bin repeated) must push runmin up
+    pts2 = make_structured_ring_scans(1, 64, P, CFG, seed=1, dropout=0.0)
+    const = pts2[0, 5, 0].copy()
+    pts2[0, 5, :400] = const          # 400 identical points = 400-lane run
+    b2 = ring_stage_bounds(pts2, CFG)
+    assert b2 is None or (1 << b2[1]) >= 400
+
+
 def test_checker_flags_off_row_points():
     pts = make_structured_ring_scans(1, 64, 128, CFG, seed=8)
     # move one ring's points to a different elevation than its row claims
