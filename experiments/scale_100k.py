@@ -65,6 +65,8 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=None,
                     help="cap optimizer steps (default: full epoch)")
     ap.add_argument("--compare-sharded", action="store_true")
+    ap.add_argument("--json", type=str, default=None,
+                    help="write the measured metrics as a JSON artifact")
     args = ap.parse_args(argv)
 
     import jax
@@ -123,6 +125,7 @@ def main(argv=None):
     miner = create_triplet_miner(positive_distance_max=5.0,
                                  negative_distance_min=10.0,
                                  negative_distance_max=100.0)
+    t_mine = None
     if cache.exists():
         triplets = np.load(cache)
         print(f"mining: {len(triplets)} triplets loaded from {cache}")
@@ -178,6 +181,31 @@ def main(argv=None):
     if stats:
         print(f"device memory: peak {stats.get('peak_bytes_in_use', 0)/2**30:.2f} GiB"
               f" / limit {stats.get('bytes_limit', 0)/2**30:.2f} GiB")
+
+    if args.json:
+        import json
+        artifact = {
+            "backend": jax.default_backend(),
+            "nodes": n,
+            "graph_build_s": round(t_graph, 3),
+            "mining_s": round(t_mine, 2) if t_mine is not None else None,
+            "n_triplets": int(len(triplets)),
+            "epoch_steps": int(n_steps),
+            "first_epoch_s": round(t_epoch, 2),
+            "steady_epoch_s": round(t_epoch2, 2),
+            "ms_per_step": round(1e3 * t_epoch2 / n_steps, 1),
+            "avg_loss": round(float(avg_loss), 5),
+            "validation_s": round(t_val, 2),
+            "n_queries": int(m["n_queries"]),
+            "recall": {f"@{k}": round(m[f"recall@{k}"], 4)
+                       for k in (1, 5, 10)},
+            "raw_descriptor_recall@1": round(m_raw["recall@1"], 4),
+            "peak_device_gib": round(
+                stats.get("peak_bytes_in_use", 0) / 2**30, 2) if stats
+            else None,
+        }
+        Path(args.json).write_text(json.dumps(artifact, indent=2))
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
