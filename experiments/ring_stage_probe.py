@@ -39,14 +39,19 @@ _ROWS = 64
 
 
 def _variant_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
-                    wpad, skip):
+                    wpad, skip, bounds):
     """Mirror of ops/pallas_ring._ring_fold_kernel with per-class toggles.
 
     ``skip`` is a frozenset of class names to omit. Omitted classes get
     trivially-defined substitutes so downstream classes execute the same
     op sequence on (garbage) data — everything is data-oblivious, so the
-    timing delta vs the full kernel is the class's cost.
+    timing delta vs the full kernel is the class's cost. ``bounds`` =
+    (fill, runmin, compact, expand) static stage depths, matching the
+    production dispatch (round 5: the probe mirrors the post-op-diet,
+    bounded-depth kernel; the round-4 table in docs/performance.md was
+    taken with the pre-diet mirror at full depths).
     """
+    fill_stages, runmin_stages, compact_stages, expand_stages = bounds
     base = 1 << (n_folds * n_azim).bit_length()
     key = key_ref[:]
     m = val_ref[:]
@@ -59,10 +64,9 @@ def _variant_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
                           axis=1, keepdims=True)
 
     if "jump" not in skip:
-        sh = 1
-        while sh < p:
-            key = jnp.where(key < 0.0, pltpu.roll(key, sh, axis=1), key)
-            sh *= 2
+        for j in range(fill_stages):
+            key = jnp.where(key < 0.0, pltpu.roll(key, 1 << j, axis=1),
+                            key)
 
     prev = pltpu.roll(key, 1, axis=1)
     startf = jnp.where(((key != prev) | (colf32 == first_valid))
@@ -85,13 +89,12 @@ def _variant_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
     fkey = key + float(n_azim) * f
 
     if "runmin" not in skip:
-        sh = 1
-        while sh < p:
+        for j in range(runmin_stages):
+            sh = 1 << j
             back = p - sh
             fkey_s = pltpu.roll(fkey, back, axis=1)
             m_s = pltpu.roll(m, back, axis=1)
             m = jnp.where(fkey_s == fkey, jnp.minimum(m, m_s), m)
-            sh *= 2
 
     flagged = (startf > 0.5) & jnp.isfinite(m) & (f <= float(n_folds - 1))
     flagf = jnp.where(flagged, one, zero)
@@ -112,15 +115,14 @@ def _variant_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
                        (colf32 - rank) * float(base) + (fkey - rank + 1.0),
                        0.0)
     if "compact" not in skip:
-        n_stages_c = max((p - 1).bit_length(), 1)
-        for k in range(n_stages_c):
-            t = jnp.floor(packed * (1.0 / (float(base) * (1 << k))))
-            bit = t - 2.0 * jnp.floor(t * 0.5)
-            mv = jnp.where((packed > 0.5) & (bit > 0.5), one, zero)
+        for k in range(compact_stages):
             step = 1 << k
+            m_mod = float(base) * (2 << k)
+            r = packed - m_mod * jnp.floor(packed * (1.0 / m_mod))
+            moving = r >= float(base) * float(step)
+            mv = jnp.where(moving, one, zero)
             back = p - step
-            inc = (pltpu.roll(mv, back, axis=1) > 0.5) & (col < p - step)
-            moving = mv > 0.5
+            inc = pltpu.roll(mv, back, axis=1) > 0.5
             valp = jnp.where(inc, pltpu.roll(valp, back, axis=1),
                              jnp.where(moving, zero, valp))
             packed = jnp.where(inc, pltpu.roll(packed, back, axis=1),
@@ -136,15 +138,13 @@ def _variant_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
         valw = jnp.concatenate([valp, padz], axis=1)
         d1w = jnp.concatenate([d1e, padz], axis=1)
     if "expand" not in skip:
-        colw = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, wpad), 1)
         onew = jnp.ones((_ROWS, wpad), jnp.float32)
         zerow = jnp.zeros((_ROWS, wpad), jnp.float32)
-        n_stages_e = max((n_folds * n_azim - 1).bit_length(), 1)
-        for k in reversed(range(n_stages_e)):
+        for k in reversed(range(expand_stages)):
             step = 1 << k
-            mv = jnp.where(d1w >= float(step + 1), onew, zerow)
-            inc = (pltpu.roll(mv, step, axis=1) > 0.5) & (colw >= step)
-            moving = mv > 0.5
+            moving = d1w >= float(step + 1)
+            mv = jnp.where(moving, onew, zerow)
+            inc = pltpu.roll(mv, step, axis=1) > 0.5
             valw = jnp.where(inc, pltpu.roll(valw, step, axis=1),
                              jnp.where(moving, zerow, valw))
             d1w = jnp.where(inc, pltpu.roll(d1w, step, axis=1)
@@ -153,12 +153,13 @@ def _variant_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
     out_ref[:] = valw + 0.0 * d1w   # keep d1w live under every toggle
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _variant_call(key, vals, n_azim, n_folds, skip):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _variant_call(key, vals, n_azim, n_folds, skip, bounds):
     n, p = key.shape
     wpad = -(-(n_folds * n_azim) // 128) * 128
     kernel = functools.partial(_variant_kernel, p=p, n_azim=n_azim,
-                               n_folds=n_folds, wpad=wpad, skip=skip)
+                               n_folds=n_folds, wpad=wpad, skip=skip,
+                               bounds=bounds)
     return pl.pallas_call(
         kernel,
         grid=(n // _ROWS,),
@@ -239,11 +240,6 @@ def measure(fn, args, iters):
 
 
 CLASSES = ("jump", "fold", "runmin", "rank", "compact", "expand")
-# stage counts at the full-density operating point (p=2176, n_folds=2,
-# n_azim=360 -> wpad=768): log2-doubling loops are 12 deep at p, the
-# expansion 10 deep at wpad
-STAGE_COUNTS = {"jump": 12, "fold": 2, "runmin": 12, "rank": 12,
-                "compact": 12, "expand": 10}
 
 
 def main():
@@ -254,7 +250,7 @@ def main():
 
     from neural_spectral_codec_tpu.ops.range_image import ProjectionConfig
     from neural_spectral_codec_tpu.ops.ring_path import (
-        _ring_keys, make_structured_ring_scans)
+        _ring_keys, make_structured_ring_scans, ring_stage_bounds)
     from neural_spectral_codec_tpu.ops.pallas_ring import ring_fold_pallas
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
@@ -269,17 +265,24 @@ def main():
     key = key.reshape(-1, ppad)
     vals = vals.reshape(-1, ppad)
     n_azim, n_folds = config.n_azimuth, 2
+    bounds = ring_stage_bounds(scans, config)
+    print(f"certified bounds (fill, runmin, compact, expand): {bounds}",
+          file=sys.stderr, flush=True)
+    stage_counts = dict(zip(("jump", "runmin", "compact", "expand"),
+                            bounds), fold=n_folds, rank=12)
 
     # sanity: the no-skip variant reproduces the production kernel
-    ref = np.asarray(ring_fold_pallas(key, vals, n_azim, n_folds))
+    ref = np.asarray(ring_fold_pallas(key, vals, n_azim, n_folds, False,
+                                      *bounds))
     got = np.asarray(_variant_call(key, vals, n_azim, n_folds,
-                                   frozenset()))
+                                   frozenset(), bounds))
     assert np.array_equal(ref, got), "variant kernel diverged from production"
     print("variant==production: ok", file=sys.stderr, flush=True)
 
     results = {}
     t_full = measure(
-        lambda a: _variant_call(a[0], a[1], n_azim, n_folds, frozenset()),
+        lambda a: _variant_call(a[0], a[1], n_azim, n_folds, frozenset(),
+                                bounds),
         (key, vals), args.iters)
     results["full"] = t_full
     print(f"full: {1e6 * t_full / args.batch:.2f} us/scan",
@@ -288,27 +291,50 @@ def main():
     for cls in CLASSES:
         t = measure(
             lambda a, c=cls: _variant_call(a[0], a[1], n_azim, n_folds,
-                                           frozenset([c])),
+                                           frozenset([c]), bounds),
             (key, vals), args.iters)
         results[f"minus_{cls}"] = t
         print(f"minus {cls}: {1e6 * t / args.batch:.2f} us/scan "
               f"(class cost {1e6 * (t_full - t) / args.batch:.2f})",
               file=sys.stderr, flush=True)
 
-    # floors: bare roll+compare+select chains, 12 stages
+    # floors: bare roll+compare+select chains at MATCHED stage counts
+    # and widths (per-class fixed overheads — loop fill/drain, setup —
+    # dominate short loops, so a 12-stage floor under-states the floor
+    # of a 4-stage class)
     f32 = jnp.asarray(np.random.default_rng(0).uniform(
         0, 1, (key.shape[0], ppad)).astype(np.float32))
     g32 = f32 + 1.0
-    t_f1 = measure(lambda a: _floor_call(a[0], a[1], 12, 1),
-                   (f32, g32), args.iters)
-    t_f2 = measure(lambda a: _floor_call(a[0], a[1], 12, 2),
-                   (f32, g32), args.iters)
-    results["floor_12stage_1array"] = t_f1
-    results["floor_12stage_2array"] = t_f2
-    print(f"floor 12-stage roll+cmp+sel, 1 array: "
-          f"{1e6 * t_f1 / args.batch:.2f} us/scan-equiv", file=sys.stderr)
-    print(f"floor 12-stage roll+cmp+sel, 2 arrays: "
-          f"{1e6 * t_f2 / args.batch:.2f} us/scan-equiv", file=sys.stderr)
+    wpad = -(-(n_folds * n_azim) // 128) * 128
+    fw = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (key.shape[0], wpad)).astype(np.float32))
+    gw = fw + 1.0
+    floor_specs = {
+        "floor_12stage_1array": (12, 1, (f32, g32)),
+        "floor_12stage_2array": (12, 2, (f32, g32)),
+        f"floor_{bounds[0]}stage_1array": (bounds[0], 1, (f32, g32)),
+        f"floor_{bounds[1]}stage_2array": (bounds[1], 2, (f32, g32)),
+        f"floor_{bounds[2]}stage_2array": (bounds[2], 2, (f32, g32)),
+        f"floor_{bounds[3]}stage_2array_w{wpad}":
+            (bounds[3], 2, (fw, gw)),
+    }
+    floors = {}
+    for name, (ns, na, arrs) in floor_specs.items():
+        t = measure(lambda a, ns=ns, na=na: _floor_call(a[0], a[1], ns,
+                                                        na),
+                    arrs, args.iters)
+        results[name] = t
+        floors[name] = t
+        print(f"{name}: {1e6 * t / args.batch:.2f} us/scan-equiv",
+              file=sys.stderr, flush=True)
+    t_f1 = results["floor_12stage_1array"]
+    matched_floor = {
+        "jump": floors[f"floor_{bounds[0]}stage_1array"],
+        "runmin": floors[f"floor_{bounds[1]}stage_2array"],
+        "rank": floors["floor_12stage_1array"],
+        "compact": floors[f"floor_{bounds[2]}stage_2array"],
+        "expand": floors[f"floor_{bounds[3]}stage_2array_w{wpad}"],
+    }
 
     b = args.batch
     table = {k: round(1e6 * v / b, 3) for k, v in results.items()}
@@ -318,21 +344,31 @@ def main():
         "class_cost_us": {
             cls: round(1e6 * (t_full - results[f"minus_{cls}"]) / b, 3)
             for cls in CLASSES},
-        "stage_counts": STAGE_COUNTS,
+        "stage_counts": stage_counts,
+        "bounds": list(bounds),
     }
     path = Path(__file__).parent / "ring_stage_probe.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
-    print("\n| class | stages | cost us/scan | per-stage us | vs 1-array "
-          "floor/stage |")
+    out["matched_floor_ratio"] = {
+        cls: round(out["class_cost_us"][cls]
+                   / (1e6 * matched_floor[cls] / b), 2)
+        for cls in matched_floor}
+    path.write_text(json.dumps(out, indent=2))
+
+    print("\n| class | stages | cost us/scan | matched floor us | "
+          "ratio |")
     print("|---|---|---|---|---|")
-    per_floor = 1e6 * t_f1 / b / 12
     for cls in CLASSES:
         c = out["class_cost_us"][cls]
-        ns = STAGE_COUNTS[cls]
-        print(f"| {cls} | {ns} | {c:.2f} | {c / ns:.3f} | "
-              f"{c / ns / per_floor:.1f}x |")
+        ns = stage_counts[cls]
+        if cls in matched_floor:
+            fl = 1e6 * matched_floor[cls] / b
+            print(f"| {cls} | {ns} | {c:.2f} | {fl:.2f} | "
+                  f"{c / fl:.2f}x |")
+        else:
+            print(f"| {cls} | {ns} | {c:.2f} | n/a | n/a |")
 
 
 if __name__ == "__main__":

@@ -43,7 +43,8 @@ _ROWS = 64
 
 
 def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
-                      wpad, fill_stages, runmin_stages):
+                      wpad, fill_stages, runmin_stages, compact_stages,
+                      expand_stages):
     # packing base for the compaction payload: smallest power of two
     # above the max expansion displacement+1; exactness needs
     # p * base < 2^24 (guarded in ring_fold_pallas)
@@ -134,8 +135,10 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
     packed = jnp.where(flagged,
                        (colf32 - rank) * float(base) + (fkey - rank + 1.0),
                        0.0)
-    n_stages_c = max((p - 1).bit_length(), 1)
-    for k in range(n_stages_c):
+    # ``compact_stages`` may be host-bounded: LSB-first needs exactly
+    # bit_length(max disp0) stages, and the certifier computes the exact
+    # maximum displacement over flagged starts (ring_stage_bounds)
+    for k in range(compact_stages):
         # bit k of disp0 via one fmod: packed mod (base·2^{k+1}) =
         # bit_k·base·2^k + (bits<k of disp0)·base + d1e < base·2^k +
         # base·2^k, so the test is a single ≥. Exact in f32: packed <
@@ -174,8 +177,8 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
         d1w = jnp.concatenate([d1e, padz], axis=1)
     onew = jnp.ones((_ROWS, wpad), jnp.float32)
     zerow = jnp.zeros((_ROWS, wpad), jnp.float32)
-    n_stages_e = max((n_folds * n_azim - 1).bit_length(), 1)
-    for k in reversed(range(n_stages_e)):
+    # ``expand_stages`` likewise: MSB-first needs bit_length(max d1)
+    for k in reversed(range(expand_stages)):
         step = 1 << k
         moving = d1w >= float(step + 1)
         mv = jnp.where(moving, onew, zerow)
@@ -190,12 +193,14 @@ def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
     out_ref[:] = valw
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def ring_fold_pallas(key: jnp.ndarray, vals: jnp.ndarray,
                      n_azim: int, n_folds: int,
                      interpret: bool = False,
                      fill_stages: int = None,
-                     runmin_stages: int = None):
+                     runmin_stages: int = None,
+                     compact_stages: int = None,
+                     expand_stages: int = None):
     """(N, Ppad) f32 key (−1 = invalid/pad) + vals (+inf at those slots)
     → (N, wpad) dense folded rows (wpad = n_folds·n_azim rounded up to
     128; zero = empty pixel), semantically the folded image the XLA
@@ -211,9 +216,14 @@ def ring_fold_pallas(key: jnp.ndarray, vals: jnp.ndarray,
     if p % 128:
         raise ValueError("ring_fold_pallas needs 128-aligned width")
     full = max((p - 1).bit_length(), 1)
+    full_e = max((n_folds * n_azim - 1).bit_length(), 1)
     fill_stages = full if fill_stages is None else min(fill_stages, full)
     runmin_stages = full if runmin_stages is None \
         else min(runmin_stages, full)
+    compact_stages = full if compact_stages is None \
+        else min(compact_stages, full)
+    expand_stages = full_e if expand_stages is None \
+        else min(expand_stages, full_e)
     wpad = -(-(n_folds * n_azim) // 128) * 128
     if p * (1 << (n_folds * n_azim).bit_length()) >= 1 << 24:
         raise ValueError("ring_fold_pallas packed payload would exceed "
@@ -228,7 +238,9 @@ def ring_fold_pallas(key: jnp.ndarray, vals: jnp.ndarray,
     kernel = functools.partial(_ring_fold_kernel, p=p, n_azim=n_azim,
                                n_folds=n_folds, wpad=wpad,
                                fill_stages=fill_stages,
-                               runmin_stages=runmin_stages)
+                               runmin_stages=runmin_stages,
+                               compact_stages=compact_stages,
+                               expand_stages=expand_stages)
     folded = pl.pallas_call(
         kernel,
         grid=(key.shape[0] // _ROWS,),

@@ -214,7 +214,7 @@ def _fold_min(img_folded: jnp.ndarray, n_folds: int,
 def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
                         row_of_ring: Tuple[int, ...],
                         n_folds: int = 2,
-                        stage_bounds: Optional[Tuple[int, int]] = None
+                        stage_bounds: Optional[Tuple[int, ...]] = None
                         ) -> jnp.ndarray:
     """(B, R, P, 3|4) ring-structured clouds → (B, n_elev, n_azim) range
     images, bit-identical to ``project_points_batch`` on the flattened
@@ -223,8 +223,8 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
     ``row_of_ring`` must be a strictly-increasing tuple of image rows
     (C3); rows without a ring stay empty.
 
-    ``stage_bounds=(fill_stages, runmin_stages)`` bounds the jump-fill /
-    run-min doubling depth; pass only values certified for this input by
+    ``stage_bounds=(fill_stages, runmin_stages[, compact_stages,
+    expand_stages])`` bounds the doubling/butterfly depths; pass only values certified for this input by
     :func:`ring_stage_bounds` (output stays bit-identical). ``None`` =
     fully general log2(P) depth."""
     rows = tuple(int(v) for v in row_of_ring)
@@ -249,7 +249,9 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
                        constant_values=jnp.inf)
     width = n_folds * config.n_azimuth
 
-    fill_st, runmin_st = stage_bounds if stage_bounds else (None, None)
+    bounds4 = tuple(stage_bounds) + (None,) * (4 - len(stage_bounds)) \
+        if stage_bounds else (None,) * 4
+    fill_st, runmin_st, compact_st, expand_st = bounds4
     if jax.default_backend() == "tpu":
         # ONE fused VMEM kernel per 8 rings: stage chain + in-VMEM
         # per-ring compaction + expansion into the folded rows — no
@@ -258,7 +260,8 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
             ring_fold_pallas)
         folded = ring_fold_pallas(
             key.reshape(b * R, ppad), vals.reshape(b * R, ppad),
-            config.n_azimuth, n_folds, False, fill_st, runmin_st)
+            config.n_azimuth, n_folds, False, fill_st, runmin_st,
+            compact_st, expand_st)
         folded = folded[:, :width].reshape(b, R, width)
     else:
         # XLA fallback (CPU tests): the flattened (ring-major) start
@@ -298,7 +301,7 @@ def project_rings_batch(points: jnp.ndarray, config: ProjectionConfig,
 def encode_points_ring_batch(points: jnp.ndarray, alpha: jnp.ndarray,
                              config, row_of_ring: Tuple[int, ...],
                              n_folds: int = 2,
-                             stage_bounds: Optional[Tuple[int, int]] = None
+                             stage_bounds: Optional[Tuple[int, ...]] = None
                              ) -> jnp.ndarray:
     """Ring-structured variant of ``ops.spectral.encode_points_batch``:
     (B, R, P, 3|4) → (B, output_dim) descriptors, identical output for
@@ -395,15 +398,20 @@ def ring_structure_report(points: np.ndarray, config: ProjectionConfig,
 
 
 _STAGE_LADDER = (2, 4, 6, 8)
+# compaction/expansion displacement-bit ladder (their stage counts are
+# bit_length(max displacement), typically 9-12 at full width)
+_COMPACT_LADDER = (6, 8, 9, 10, 11)
 
 
 def ring_stage_bounds(points: np.ndarray, config: ProjectionConfig,
-                      ppad: Optional[int] = None
-                      ) -> Optional[Tuple[int, int]]:
+                      ppad: Optional[int] = None,
+                      n_folds: int = 2
+                      ) -> Optional[Tuple[int, int, int, int]]:
     """Host-side certification of bounded doubling depths for this input:
-    returns ``(fill_stages, runmin_stages)`` such that the bounded kernel
-    is bit-identical to the fully-general one on these points, or None
-    when no bound below log2(P) can be certified.
+    returns ``(fill_stages, runmin_stages, compact_stages,
+    expand_stages)`` such that the bounded kernel is bit-identical to
+    the fully-general one on these points, or None when no bound below
+    the general depths can be certified.
 
     Exactness conditions (proofs at the kernel loops, pallas_ring.py):
       * jump-fill reach 2^K−1 must cover every INTERIOR invalid run — a
@@ -413,8 +421,13 @@ def ring_stage_bounds(points: np.ndarray, config: ProjectionConfig,
       * the run-min window 2^J must cover, for every run (maximal
         equal-key block of the filled sequence), the distance from its
         start to its last VALID lane (holes beyond carry +inf and cannot
-        change a min).
-    Bounds are rounded up to a small ladder so a stream compiles a
+        change a min);
+      * the LSB-first compaction needs bit_length(max disp0) stages
+        where disp0 = start column − rank among flagged starts, and the
+        MSB-first expansion bit_length(max d1) where d1 = folded target
+        − rank — both computed EXACTLY here by replaying the kernel's
+        start/fold/flag logic on the filled key sequence.
+    Bounds are rounded up to small ladders so a stream compiles a
     handful of kernel variants, not one per scan.
     """
     pts = np.asarray(points)
@@ -441,6 +454,9 @@ def ring_stage_bounds(points: np.ndarray, config: ProjectionConfig,
 
     max_hole = 0
     max_extent = 1
+    max_disp = 0
+    max_d1 = 1
+    n_azim = config.n_azimuth
     for bi in range(b):
         for r in range(R):
             v = valid[bi, r]
@@ -472,14 +488,39 @@ def ring_stage_bounds(points: np.ndarray, config: ProjectionConfig,
             ext = last_valid - starts + 1
             if len(ext):
                 max_extent = max(max_extent, int(ext.max()))
+            # replay the kernel's fold/flag/rank logic: noninc events
+            # (fold increments) are starts after first_valid whose key
+            # does not increase; flagged = fold index ≤ n_folds−1; rank
+            # = position among flagged starts
+            if len(starts):
+                noninc = np.zeros(len(starts), bool)
+                if len(starts) > 1:
+                    noninc[1:] = fk[starts[1:]] <= fk[starts[1:] - 1]
+                f = np.cumsum(noninc)
+                flagged = f <= n_folds - 1
+                fsp = starts[flagged]
+                if len(fsp):
+                    rank = np.arange(len(fsp))
+                    max_disp = max(max_disp, int((fsp - rank).max()))
+                    fkey = fk[fsp] + n_azim * f[flagged]
+                    max_d1 = max(max_d1, int((fkey - rank).max()))
 
+    full_e = max((n_folds * n_azim - 1).bit_length(), 1)
     fill_req = max(max_hole, 0).bit_length()          # reach 2^K−1 ≥ hole
     runmin_req = max((max_extent - 1).bit_length(), 1)  # window 2^J ≥ ext
+    compact_req = max(max_disp.bit_length(), 1)       # bits of max disp0
+    expand_req = max(max_d1.bit_length(), 1)          # bits of max d1
     fill_st = next((k for k in _STAGE_LADDER if k >= fill_req), full)
     runmin_st = next((k for k in _STAGE_LADDER if k >= runmin_req), full)
-    if fill_st >= full and runmin_st >= full:
+    compact_st = next((k for k in _COMPACT_LADDER if k >= compact_req),
+                      full)
+    expand_st = next((k for k in _COMPACT_LADDER if k >= expand_req),
+                     full_e)
+    out = (min(fill_st, full), min(runmin_st, full),
+           min(compact_st, full), min(expand_st, full_e))
+    if out == (full, full, full, full_e):
         return None
-    return (min(fill_st, full), min(runmin_st, full))
+    return out
 
 
 def points_to_rings(points: np.ndarray, ring_ids: np.ndarray,

@@ -395,7 +395,7 @@ def test_bounded_stage_kernel_bitexact():
     full = np.asarray(ring_fold_pallas(key, vals, CFG.n_azimuth, 2,
                                        True))
     got = np.asarray(ring_fold_pallas(key, vals, CFG.n_azimuth, 2, True,
-                                      b2[0], b2[1]))
+                                      *b2))
     np.testing.assert_array_equal(got, full)
 
 
