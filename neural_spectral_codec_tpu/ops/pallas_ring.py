@@ -38,8 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 # rings per Pallas program: per-op fixed overheads dominate at narrow
 # blocks (measured 34 us/scan at 8 rows -> 21 at 64; flat beyond), and 64
 # rows = one full HDL-64E scan per program, so the online B=1 path wastes
-# no padding. VMEM at (64, 2112) x ~8 live arrays is ~4 MB.
-_ROWS = 64
+# no padding. VMEM at (64, 2176) x ~8 live arrays is ~4.5 MB.
+# NSC_RING_ROWS overrides for block-shape experiments
+# (experiments/ring_block_sweep.py) — production default stays 64.
+import os
+
+_ROWS = int(os.environ.get("NSC_RING_ROWS", "64"))
 
 
 def _ring_fold_kernel(key_ref, val_ref, out_ref, *, p, n_azim, n_folds,
